@@ -1,0 +1,213 @@
+"""Typed configuration with CLI parity to the reference drivers.
+
+The reference uses bare argparse in each driver (main.py:27-74 — 29 flags,
+main_dgl.py:24-65 — 24 flags, valid.py:24-65) plus runtime mutation of the
+args namespace. Here a single frozen-ish dataclass carries every documented
+flag, and `add_arguments`/`from_args` give the same CLI surface.
+
+TPU-specific additions (mesh shape, dtype, sync-BN, strict-compat) are new
+flags with defaults that preserve reference behavior where it affects
+reported accuracy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+from typing import List, Optional, Tuple
+
+# Class counts per dataset — reference models/basic_model.py:15-26.
+N_CLASSES = {
+    "VGGSound": 309,
+    "KineticSound": 34,
+    "kinect400": 400,
+    "CREMAD": 6,
+    "AVE": 28,
+}
+
+# Audio frontend parameters per dataset — reference dataset/*.py:
+#   CREMAD  (dataset/CramedDataset.py:60-66):  22.05 kHz, 3 s, n_fft 512, hop 353
+#   KineticSound (dataset/KSDataset.py:139-149): 16 kHz, 5 s, n_fft 256, hop 128
+#   VGGSound (dataset/VGGSoundDataset.py:112-122): same as KS
+#   AVE (dataset/AVEDataset.py:81-88): 22.05 kHz, 3 s, n_fft 512, hop 256 (+224² resize)
+#   kinect400 (dataset/Kinect400.py:120-127): 16 kHz, 8 s, n_fft 256, hop 128
+AUDIO_PARAMS = {
+    "CREMAD": dict(sample_rate=22050, seconds=3, n_fft=512, hop=353),
+    "KineticSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128),
+    "VGGSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128),
+    "AVE": dict(sample_rate=22050, seconds=3, n_fft=512, hop=256),
+    "kinect400": dict(sample_rate=16000, seconds=8, n_fft=256, hop=128),
+}
+
+
+def spectrogram_shape(dataset: str, swin: bool = False) -> Tuple[int, int]:
+    """(freq_bins, frames) of the log-STFT for a dataset.
+
+    center=True STFT: frames = 1 + num_samples // hop; bins = n_fft//2 + 1.
+    Swin runs resize the spectrogram to 224x224 (CramedDataset.py:163).
+    """
+    if swin:
+        return (224, 224)
+    p = AUDIO_PARAMS[dataset]
+    n = p["sample_rate"] * p["seconds"]
+    return (p["n_fft"] // 2 + 1, 1 + n // p["hop"])
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference CLI flags (main.py:27-74, main_dgl.py:24-65) ---
+    dataset: str = "CREMAD"
+    modulation: str = "OGM_GE"  # ['Normal', 'OGM', 'OGM_GE']
+    fusion_method: str = "concat"  # ['sum', 'concat', 'gated', 'film']
+    fps: int = 1
+    use_video_frames: int = 3
+    num_frame: int = 1
+    audio_path: str = "./train_test_data/CREMA-D/AudioWAV"
+    visual_path: str = "./train_test_data/CREMA-D"
+    batch_size: int = 64
+    epochs: int = 100
+    optimizer: str = "sgd"  # ['sgd', 'AdaGrad', 'Adam']
+    learning_rate: float = 0.001
+    lr_decay_step: List[int] = dataclasses.field(default_factory=lambda: [70])
+    lr_decay_ratio: float = 0.1
+    modulation_starts: int = 0
+    modulation_ends: int = 50
+    alpha: float = 4.0
+    ckpt_path: str = "ckpt"
+    train: bool = False
+    use_tensorboard: bool = False
+    tensorboard_path: Optional[str] = None
+    random_seed: int = 0
+    gpu_ids: str = "1"  # accepted for CLI parity; ignored on TPU
+    modality: str = "full"  # ['full', 'audio', 'visual']
+    backbone: str = "resnet"  # ['resnet', 'swin']
+    total_epoch: int = 10  # warmup length (main.py GradualWarmupScheduler)
+    drop: int = 0
+    # --- main.py-only flags (main.py:63-72) ---
+    pe: int = 0  # probabilistic embedding heads
+    max: float = 1e20
+    beta: float = 0.0  # KL-regularizer weight
+    pretrain: bool = False
+    warmup: bool = False
+    gamma: float = 1.0
+    # --- TPU-native additions ---
+    dp: int = -1  # data-parallel mesh size; -1 = all devices
+    mp: int = 1  # model-parallel mesh size (fusion/classifier dense kernels)
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    sync_bn: bool = True  # global-batch BN stats (XLA collective); reference
+    # DataParallel computes per-replica stats — not reproducible under one
+    # jit program, and sync-BN is the better default at small per-chip batch.
+    strict_compat: bool = False  # replicate reference quirks that affect
+    # reported accuracy (first-N frame selection, drop_last test truncation)
+    log_grad_csv: bool = True  # per-step encoder grad-magnitude CSV
+    # (main_dgl.py:148-152); disable for max throughput
+    eval_drop_last: bool = True  # reference test DataLoader drop_last=True
+    # (main_dgl.py:287-288) truncates the test set; False evaluates all
+    resume: Optional[str] = None  # resume training from a state checkpoint
+    save_every: int = 0  # also save a resumable state every N epochs
+    num_workers: int = 8  # host-side data pipeline threads
+    encoder_width: int = 64  # ResNet stem width (64 = reference ResNet-18);
+    # smaller values give cheap models for tests/CI
+    encoder_stages: Optional[List[int]] = None  # blocks per stage; None =
+    # backbone default ((2,2,2,2) for resnet18)
+
+    def __post_init__(self):
+        if isinstance(self.lr_decay_step, str):
+            self.lr_decay_step = list(ast.literal_eval(self.lr_decay_step))
+
+    @property
+    def n_classes(self) -> int:
+        if self.dataset not in N_CLASSES:
+            raise NotImplementedError(
+                "Incorrect dataset name {}".format(self.dataset)
+            )
+        return N_CLASSES[self.dataset]
+
+    @property
+    def audio_params(self) -> dict:
+        return AUDIO_PARAMS[self.dataset]
+
+    @property
+    def spec_shape(self) -> Tuple[int, int]:
+        return spectrogram_shape(self.dataset, swin=self.backbone == "swin")
+
+    @property
+    def encoder_dim(self) -> int:
+        return 1024 if self.backbone == "swin" else 8 * self.encoder_width
+
+
+def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
+    """Register the reference CLI surface on `parser`.
+
+    dgl=True mirrors main_dgl.py:24-65; dgl=False adds the extra
+    main.py:63-72 flags. Defaults follow the respective reference driver.
+    """
+    d = Config()
+    parser.add_argument("--dataset", default=d.dataset, type=str,
+                        help="VGGSound, KineticSound, CREMAD, AVE")
+    parser.add_argument("--modulation", default=d.modulation, type=str,
+                        choices=["Normal", "OGM", "OGM_GE"])
+    parser.add_argument("--fusion_method", default=d.fusion_method, type=str,
+                        choices=["sum", "concat", "gated", "film"])
+    parser.add_argument("--fps", default=d.fps, type=int)
+    parser.add_argument("--use_video_frames", default=d.use_video_frames, type=int)
+    parser.add_argument("--num_frame", default=d.num_frame, type=int,
+                        help="use how many frames for train")
+    parser.add_argument("--audio_path", default=d.audio_path, type=str)
+    parser.add_argument("--visual_path", default=d.visual_path, type=str)
+    parser.add_argument("--batch_size", default=d.batch_size, type=int)
+    parser.add_argument("--epochs", default=d.epochs, type=int)
+    parser.add_argument("--optimizer", default=d.optimizer, type=str)
+    parser.add_argument("--learning_rate",
+                        default=0.001 if dgl else 0.002, type=float,
+                        help="initial learning rate")
+    parser.add_argument("--lr_decay_step",
+                        default="[70]" if dgl else "[30,70]", type=str,
+                        help="where learning rate decays")
+    parser.add_argument("--lr_decay_ratio", default=d.lr_decay_ratio, type=float)
+    parser.add_argument("--modulation_starts", default=d.modulation_starts, type=int)
+    parser.add_argument("--modulation_ends", default=d.modulation_ends, type=int)
+    if dgl:
+        parser.add_argument("--alpha", default=4.0, type=float,
+                            help="alpha in DGL")
+    else:
+        parser.add_argument("--alpha", required=True, type=float,
+                            help="alpha in OGM-GE")
+    parser.add_argument("--ckpt_path", required=True, type=str)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--use_tensorboard", default=False, type=bool)
+    parser.add_argument("--tensorboard_path", type=str, default=None)
+    parser.add_argument("--random_seed", default=d.random_seed, type=int)
+    parser.add_argument("--gpu_ids", default=d.gpu_ids, type=str)
+    parser.add_argument("--modality", type=str, default=d.modality)
+    parser.add_argument("--backbone", type=str, default=d.backbone)
+    parser.add_argument("--total_epoch", default=d.total_epoch, type=int)
+    parser.add_argument("--drop", default=d.drop, type=int)
+    if not dgl:
+        parser.add_argument("--pe", type=int, default=d.pe)
+        parser.add_argument("--max", type=float, default=d.max)
+        parser.add_argument("--beta", type=float, default=d.beta)
+        parser.add_argument("--pretrain", type=bool, default=d.pretrain)
+        parser.add_argument("--warmup", type=bool, default=d.warmup)
+        parser.add_argument("--gamma", type=float, default=d.gamma)
+    # TPU-native flags
+    parser.add_argument("--dp", default=d.dp, type=int)
+    parser.add_argument("--mp", default=d.mp, type=int)
+    parser.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    parser.add_argument("--sync_bn", default=d.sync_bn,
+                        type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--strict_compat", action="store_true")
+    parser.add_argument("--log_grad_csv", default=d.log_grad_csv,
+                        type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--eval_drop_last", default=d.eval_drop_last,
+                        type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--resume", default=None, type=str)
+    parser.add_argument("--save_every", default=d.save_every, type=int)
+    parser.add_argument("--num_workers", default=d.num_workers, type=int)
+
+
+def from_args(args: argparse.Namespace) -> Config:
+    fields = {f.name for f in dataclasses.fields(Config)}
+    kwargs = {k: v for k, v in vars(args).items() if k in fields}
+    return Config(**kwargs)

@@ -1,0 +1,111 @@
+"""Dual-stem ResNet encoders, TPU-native (NHWC, Flax).
+
+Capability parity with reference models/backbone.py: torchvision-style
+ResNet-18/50 with a modality-specific stem — audio Conv(1→64, 7x7, s2),
+visual Conv(3→64, 7x7, s2) (backbone.py:96-103) — returning the layer-4
+feature map with no avgpool/fc (backbone.py:158-201). The visual forward
+folds time into batch: [B, T, H, W, C] → [B*T, H, W, C]
+(backbone.py:160-164; reference is NCHW, here channel-last for the TPU's
+native conv layout).
+
+Note the reference's `resnet50` is mislabeled — it is built from BasicBlock
+(backbone.py:260-262); we reproduce that contract (a ResNet-34-shaped net)
+under the same name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gdl_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with identity/projection shortcut (backbone.py:31-68)."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = conv(self.filters, 3, self.stride, self.dtype, name="conv1")(x)
+        y = batch_norm(train, self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, 3, 1, self.dtype, name="conv2")(y)
+        y = batch_norm(train, self.dtype, name="bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            residual = conv(self.filters, 1, self.stride, self.dtype,
+                            name="downsample_conv")(x)
+            residual = batch_norm(train, self.dtype,
+                                  name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Feature-map encoder: stem + 4 stages, returns [N, H/32, W/32, 512].
+
+    modality='audio' expects [B, F, T, 1] log-spectrograms; 'visual' expects
+    [B, T, H, W, 3] frame stacks and folds T into the batch dimension.
+    """
+
+    modality: str  # 'audio' | 'visual'
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    width: int = 64  # stem width; stages are (w, 2w, 4w, 8w)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.modality == "visual":
+            if x.ndim != 5:
+                raise ValueError(
+                    "visual input must be [B, T, H, W, C], got %s"
+                    % (x.shape,)
+                )
+            b, t, h, w, c = x.shape
+            x = x.reshape(b * t, h, w, c)
+        elif self.modality != "audio":
+            raise NotImplementedError(
+                "Incorrect modality, should be audio or visual but got "
+                + str(self.modality)
+            )
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name="conv1",
+        )(x)
+        x = batch_norm(train, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        w = self.width
+        filters = (w, 2 * w, 4 * w, 8 * w)
+        for stage, (n_blocks, f) in enumerate(zip(self.stage_sizes, filters)):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(
+                    filters=f, stride=stride, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+        return x
+
+
+def resnet18(modality: str, dtype: Any = jnp.float32, width: int = 64,
+             stage_sizes: Sequence[int] | None = None) -> ResNet:
+    """backbone.py:255-257."""
+    return ResNet(modality=modality,
+                  stage_sizes=tuple(stage_sizes or (2, 2, 2, 2)),
+                  width=width, dtype=dtype)
+
+
+def resnet50(modality: str, dtype: Any = jnp.float32, width: int = 64) -> ResNet:
+    """backbone.py:260-262 — BasicBlock [3,4,6,3], faithfully mislabeled."""
+    return ResNet(modality=modality, stage_sizes=(3, 4, 6, 3), width=width,
+                  dtype=dtype)

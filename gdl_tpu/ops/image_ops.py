@@ -1,0 +1,88 @@
+"""On-device image preprocessing: fused normalize + augmentation.
+
+Replaces the reference's per-sample host torchvision pipeline
+(dataset/CramedDataset.py:76-101: RandomResizedCrop(224) +
+RandomHorizontalFlip + ToTensor + ImageNet Normalize at train; Resize(224)
++ Normalize at test). Frames ship to the device as uint8 and everything
+else — crop sampling, bilinear resample, flip, /255, normalize — runs
+inside the jitted step as one fused XLA program (static shapes; the dynamic
+crop geometry is expressed through `jax.image.scale_and_translate`, whose
+scale/translation operands are traced values).
+
+torchvision RandomResizedCrop defaults reproduced: area scale U(0.08, 1.0),
+log-uniform aspect ratio in (3/4, 4/3), 10 attempts then center fallback —
+here a single rejection-free draw (clamped to the image) since the
+distribution difference is immaterial for augmentation; flips are p=0.5.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize_images(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [..., H, W, 3] → float32 ToTensor+Normalize
+    (dataset/CramedDataset.py:80-81)."""
+    x = x.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def resize_images(x: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """Bilinear resize of [..., H, W, 3] to size×size (test transform,
+    dataset/CramedDataset.py:84-88)."""
+    batch_dims = x.shape[:-3]
+    out_shape = batch_dims + (size, size, 3)
+    return jax.image.resize(x.astype(jnp.float32), out_shape,
+                            method="bilinear")
+
+
+def _rrc_one(img: jnp.ndarray, key: jax.Array, size: int) -> jnp.ndarray:
+    """RandomResizedCrop + HFlip for one [H, W, 3] float image."""
+    h, w = img.shape[0], img.shape[1]
+    k_area, k_ratio, k_x, k_y, k_flip = jax.random.split(key, 5)
+
+    area = jax.random.uniform(k_area, (), minval=0.08, maxval=1.0) * (h * w)
+    log_ratio = jax.random.uniform(
+        k_ratio, (), minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0))
+    ratio = jnp.exp(log_ratio)
+    cw = jnp.sqrt(area * ratio)
+    ch = jnp.sqrt(area / ratio)
+    cw = jnp.clip(cw, 1.0, w)
+    ch = jnp.clip(ch, 1.0, h)
+    x0 = jax.random.uniform(k_x, ()) * (w - cw)
+    y0 = jax.random.uniform(k_y, ()) * (h - ch)
+
+    # map crop box [y0, y0+ch) x [x0, x0+cw) → [0, size)²:
+    # out(u) = in(u/scale - translate/scale) under scale_and_translate's
+    # convention out = scale * in + translation
+    scale = jnp.stack([size / ch, size / cw])
+    translation = jnp.stack([-y0 * size / ch, -x0 * size / cw])
+    out = jax.image.scale_and_translate(
+        img, (size, size, 3), (0, 1), scale, translation, method="bilinear")
+
+    flip = jax.random.bernoulli(k_flip)
+    return jnp.where(flip, out[:, ::-1, :], out)
+
+
+def random_resized_crop_flip(frames: jnp.ndarray, key: jax.Array,
+                             size: int = 224) -> jnp.ndarray:
+    """[B, T, H, W, 3] uint8/float frames → [B, T, size, size, 3] float32
+    augmented + normalized. Each frame gets an independent crop/flip, like
+    the reference's per-frame transform invocation
+    (dataset/CramedDataset.py:95-101)."""
+    b, t = frames.shape[0], frames.shape[1]
+    x = frames.astype(jnp.float32)
+    keys = jax.random.split(key, b * t).reshape(b, t, 2)
+    out = jax.vmap(jax.vmap(_rrc_one, in_axes=(0, 0, None)),
+                   in_axes=(0, 0, None))(x, keys, size)
+    return (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def eval_preprocess(frames: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """Test-time transform: Resize(size, size) + Normalize."""
+    x = resize_images(frames, size)
+    return (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD

@@ -1,0 +1,100 @@
+"""Device-mesh parallelism — the TPU-native replacement for DataParallel.
+
+The reference scales with single-process `torch.nn.DataParallel`
+(main.py:507, main_dgl.py:244): replicate the module, scatter the batch over
+CUDA peers, gather. Here the same (and more) is one jit-compiled SPMD
+program over a `jax.sharding.Mesh`:
+
+  - 'data' axis: the batch is sharded over ICI; XLA inserts the gradient
+    all-reduce (psum) automatically — the collective DP's gather emulates.
+  - 'model' axis (new capability): large dense kernels (fusion head,
+    classifier, FiLM's dim²→dim projection) are sharded over their input
+    dimension; XLA turns the matmuls into partial-sum + reduce-scatter
+    collectives. The reference has no TP (SURVEY §2.9) — models are small —
+    but the axis demonstrates and future-proofs >1-D meshes.
+
+BatchNorm note: under one jit program the batch statistics are computed over
+the GLOBAL batch (XLA emits the cross-replica mean) — i.e. sync-BN, unlike
+DataParallel's per-replica stats. This is the deliberate default
+(cfg.sync_bn; SURVEY §7 hard part 3): per-chip batches on a v5e-8 at global
+batch 64 are 8 samples, where per-replica BN is noisy.
+
+Multi-host: the identical program runs under `jax.distributed.initialize`;
+nothing here changes (DCN between slices, ICI within).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, mp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """('data', 'model') mesh. dp=-1 uses all devices / mp."""
+    devices = devices if devices is not None else jax.devices()
+    if dp == -1:
+        dp = len(devices) // mp
+    n = dp * mp
+    mesh_devices = mesh_utils.create_device_mesh((dp, mp),
+                                                 devices=devices[:n])
+    return Mesh(mesh_devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dimension over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _param_spec(path, leaf, mp: int) -> P:
+    """Sharding rule per parameter.
+
+    Dense kernels under the fusion/classifier heads whose input dim divides
+    the 'model' axis are sharded over it; everything else (conv kernels, BN,
+    biases) is replicated — the right layout at this model scale (encoder
+    activations dominate memory, not params)."""
+    names = [getattr(p, "key", "") for p in path]
+    if mp > 1 and leaf.ndim == 2 and leaf.shape[0] % mp == 0 and any(
+            ("fusion" in n) or ("classifier" in n) for n in names):
+        return P("model", None)
+    return P()
+
+
+def state_sharding(state, mesh: Mesh):
+    """NamedSharding pytree for a TrainState.
+
+    Params follow `_param_spec`; step/batch_stats/opt_state are replicated
+    (momentum traces get re-laid-out by GSPMD propagation after the first
+    donated update — "computation follows data")."""
+    mp = mesh.shape["model"]
+
+    param_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf, mp)),
+        state.params)
+
+    def replicate(tree):
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+    return type(state)(
+        step=NamedSharding(mesh, P()),
+        params=param_sh,
+        batch_stats=replicate(state.batch_stats),
+        opt_state=replicate(state.opt_state),
+    )
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """jit the step; shardings are carried by the arrays themselves
+    (device_put the state with `state_sharding` and each batch with
+    `batch_sharding` before calling). Donation keeps params/opt-state
+    buffers in place across steps."""
+    del mesh  # layout travels with the args
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def put_sharded(tree, sharding):
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,158 @@
+"""Optimizers, LR schedules, and the OGM / OGM-GE gradient modulation.
+
+Numerics parity with the reference:
+
+- SGD (main_dgl.py:248-250): torch SGD(momentum=0.9, weight_decay=1e-4) with
+  COUPLED weight decay (added to the gradient before the momentum buffer) and
+  a preceding clip_grad_norm_(max_norm=40) (main_dgl.py:129). Optax chain:
+  clip_by_global_norm(40) → add_decayed_weights(1e-4) → trace(0.9) → -lr.
+- AdaGrad (main_dgl.py:252-254): torch defaults (eps 1e-10, acc init 0).
+- Adam (main_dgl.py:255-257): actually torch AdamW(betas=(0.9, 0.999)) with
+  its default decoupled weight decay 0.01.
+- MultiStepLR with the reference's scheduler-at-epoch-top quirk
+  (main_dgl.py:73-74): `scheduler.step()` runs at the TOP of every epoch, so
+  a milestone m takes effect during epoch m-1 (0-indexed) — one epoch
+  earlier than textbook MultiStepLR. `lr_for_epoch` reproduces this.
+- GradualWarmupScheduler (main.py:360-422): linear warmup over
+  `total_epoch` epochs toward base_lr*multiplier, then the after-scheduler.
+- OGM / OGM-GE modulation: the per-modality gradient scaling specified (as
+  commented-out code, the only spec that exists) at main.py:286-332 — Eq. 10
+  of the OGM-GE paper with the tanh coefficient, masked to 4-D conv kernels
+  and the [modulation_starts, modulation_ends] epoch window; the GE variant
+  adds zero-mean Gaussian noise with per-tensor grad std.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gdl_tpu.config import Config
+
+
+def lr_for_epoch(cfg: Config, epoch: int) -> float:
+    """LR in effect during 0-indexed `epoch` under the reference schedule."""
+    base = cfg.learning_rate
+    if cfg.optimizer != "sgd":
+        return base  # scheduler=None for AdaGrad/Adam (main_dgl.py:252-257)
+    if getattr(cfg, "warmup", False):
+        # GradualWarmupScheduler(multiplier=1): lr = base * (last_epoch /
+        # total_epoch), stepped with epoch+1 at the epoch top
+        # (main.py:131-132, :390-391), then the MultiStep after-scheduler.
+        e = epoch + 1
+        if e <= cfg.total_epoch:
+            return base * (float(e) / cfg.total_epoch)
+        decays = sum(1 for m in cfg.lr_decay_step
+                     if (e - cfg.total_epoch) >= m)
+        return base * (cfg.lr_decay_ratio ** decays)
+    decays = sum(1 for m in cfg.lr_decay_step if epoch + 1 >= m)
+    return base * (cfg.lr_decay_ratio ** decays)
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        base = cfg.learning_rate
+        if cfg.optimizer != "sgd":
+            return jnp.asarray(base, jnp.float32)
+        milestones = jnp.asarray(cfg.lr_decay_step or [0], jnp.int32)
+        if getattr(cfg, "warmup", False):
+            e = epoch + 1
+            warm = base * e.astype(jnp.float32) / cfg.total_epoch
+            decays = jnp.sum((e - cfg.total_epoch) >= milestones) * (
+                len(cfg.lr_decay_step) > 0)
+            after = base * (cfg.lr_decay_ratio ** decays)
+            return jnp.where(e <= cfg.total_epoch, warm, after)
+        if not cfg.lr_decay_step:
+            return jnp.asarray(base, jnp.float32)
+        decays = jnp.sum((epoch + 1) >= milestones)
+        return base * (cfg.lr_decay_ratio ** decays)
+
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int,
+                   clip_norm: float = 40.0) -> optax.GradientTransformation:
+    """The full update chain for a reference driver run."""
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.optimizer == "sgd":
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.add_decayed_weights(1e-4),
+            optax.trace(decay=0.9, nesterov=False),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if cfg.optimizer == "AdaGrad":
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if cfg.optimizer == "Adam":
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(0.01),  # torch AdamW default
+            optax.scale_by_learning_rate(schedule),
+        )
+    raise ValueError("unknown optimizer {}".format(cfg.optimizer))
+
+
+# ---------------------------------------------------------------------------
+# OGM / OGM-GE gradient modulation (main.py:286-332 spec)
+# ---------------------------------------------------------------------------
+
+
+def ogm_coefficients(out_a: jnp.ndarray, out_v: jnp.ndarray,
+                     labels: jnp.ndarray, alpha: float):
+    """(coeff_a, coeff_v) from the label-softmax score ratio (main.py:287-306).
+    """
+    pa = jax.nn.softmax(out_a.astype(jnp.float32), axis=-1)
+    pv = jax.nn.softmax(out_v.astype(jnp.float32), axis=-1)
+    idx = jnp.arange(labels.shape[0])
+    score_a = jnp.sum(pa[idx, labels])
+    score_v = jnp.sum(pv[idx, labels])
+    ratio_v = score_v / score_a
+    ratio_a = 1.0 / ratio_v
+    coeff_when_v_big = (1.0 - jnp.tanh(alpha * jax.nn.relu(ratio_v)), 1.0)
+    coeff_when_a_big = (1.0, 1.0 - jnp.tanh(alpha * jax.nn.relu(ratio_a)))
+    v_big = ratio_v > 1.0
+    coeff_v = jnp.where(v_big, coeff_when_v_big[0], coeff_when_a_big[0])
+    coeff_a = jnp.where(v_big, coeff_when_v_big[1], coeff_when_a_big[1])
+    return coeff_a, coeff_v
+
+
+def apply_ogm(grads, coeff_a, coeff_v, rng: jax.Array, mode: str,
+              active) -> dict:
+    """Scale encoder conv-kernel grads by the modality coefficient; OGM_GE
+    adds N(0, std(g)+1e-8) noise (main.py:314-330). `active` is a traced
+    bool for the epoch window; grads is the full param-tree gradient with
+    top-level 'audio_net' / 'visual_net' keys (mirroring the reference's
+    name-based selection at main.py:315-318)."""
+    if mode not in ("OGM", "OGM_GE"):
+        return grads
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    treedef = jax.tree_util.tree_structure(grads)
+    keys = jax.random.split(rng, len(flat))
+    new_leaves = []
+    for (path, g), key in zip(flat, keys):
+        names = [getattr(p, "key", "") for p in path]
+        top = names[0] if names else ""
+        coeff = None
+        if "audio" in top:
+            coeff = coeff_a
+        elif "visual" in top:
+            coeff = coeff_v
+        if coeff is not None and g.ndim == 4:  # conv kernels only
+            mod = g * coeff
+            if mode == "OGM_GE":
+                noise = jax.random.normal(key, g.shape, g.dtype) * (
+                    jnp.std(g) + 1e-8)
+                mod = mod + noise
+            g = jnp.where(active, mod, g)
+        new_leaves.append(g)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
