@@ -1,0 +1,420 @@
+"""Dataset layer: file-list construction + per-sample host decode.
+
+Capability parity with reference dataset/*.py (SURVEY §2.2), re-architected
+for TPU: the host does ONLY irreducible IO (wav decode/resample, JPEG
+decode) and emits fixed-shape raw arrays
+
+    wave   float32 [sr * seconds]      (tiled / cropped / clipped)
+    frames uint8   [T, RAW, RAW, 3]    (decoded at a canonical RAW size)
+    label  int
+
+and the entire spectrogram + augmentation pipeline runs on-device inside
+the jitted train step (gdl_tpu/data/preprocess.py) — the reference instead
+runs librosa STFT + torchvision transforms per sample in 32 worker
+processes (dataset/CramedDataset.py:57-103), its dominant cost at ResNet-18
+scale (SURVEY §3.1 hot loops).
+
+List-building semantics preserved per dataset (csv/txt parsing, skip rules,
+class-id assignment); known reference quirks are fixed by default and
+reproduced under cfg.strict_compat:
+  - frame selection: the reference draws a random sort-ed index set and
+    then ignores it, reading the FIRST N directory entries in os.listdir
+    order (dataset/CramedDataset.py:92-96). strict_compat does first-N
+    (sorted for determinism); the default samples N frames uniformly at
+    train and takes the first N sorted at eval.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gdl_tpu.config import AUDIO_PARAMS, Config
+from gdl_tpu.data.wav import load_wav
+
+RAW_IMAGE_SIZE = 256  # canonical host decode size; device crops/resizes
+
+
+def listdir_nohidden(path: str) -> List[str]:
+    """Non-hidden entries, full paths (dataset/KSDataset.py:22-23)."""
+    return glob.glob(os.path.join(path, "*"))
+
+
+def _decode_frame(path: str, size: int = RAW_IMAGE_SIZE) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        img = img.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+
+def _select_frames(entries: Sequence[str], n: int, train: bool,
+                   strict_compat: bool, rng: random.Random) -> List[str]:
+    entries = sorted(entries)
+    if len(entries) == 0:
+        return []
+    if strict_compat or not train or len(entries) <= n:
+        sel = entries[:n]
+    else:
+        idx = sorted(rng.sample(range(len(entries)), n))
+        sel = [entries[i] for i in idx]
+    # pad by repeating the last frame if the clip is short (the reference
+    # leaves zeros in the tensor instead — dataset/CramedDataset.py:94)
+    while len(sel) < n:
+        sel.append(sel[-1])
+    return sel
+
+
+def _load_frames(paths: List[str]) -> np.ndarray:
+    frames = []
+    for p in paths:
+        try:
+            frames.append(_decode_frame(p))
+        except Exception:
+            # corrupt image → black frame slot (dataset/KSDataset.py:182-187)
+            frames.append(np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3),
+                                   np.uint8))
+    return np.stack(frames)
+
+
+def _audio_fixed(path: str, dataset: str,
+                 rng: Optional[random.Random]) -> np.ndarray:
+    """Decode + resample + tile/crop/clip to the dataset's fixed length."""
+    p = AUDIO_PARAMS[dataset]
+    sr = p["sample_rate"]
+    target = sr * p["seconds"]
+    wave = load_wav(path, sr)
+    if dataset in ("CREMAD", "AVE"):
+        # np.tile(samples, 3)[:3 s] (dataset/CramedDataset.py:61)
+        wave = np.tile(wave, 3)[:target]
+    else:
+        # tile to >= 10 s, random 5 s (KS/VGGSound, dataset/KSDataset.py:139-146)
+        # or 8 s (kinect400, dataset/Kinect400.py:120-127) crop
+        min_len = sr * 10
+        while len(wave) < min_len:
+            wave = np.tile(wave, 2)
+        hi = sr * 5
+        start = rng.randint(0, hi) if rng is not None else 0
+        wave = wave[start:start + target]
+    if len(wave) < target:
+        wave = np.pad(wave, (0, target - len(wave)))
+    return np.clip(wave, -1.0, 1.0).astype(np.float32)
+
+
+class _AVListDataset:
+    """Shared skeleton: a (audio_path, video_dir, label) triplet list."""
+
+    dataset_name: str
+
+    def __init__(self, cfg: Config, mode: str, n_frames: int):
+        self.cfg = cfg
+        self.mode = mode
+        self.n_frames = n_frames
+        self.audio: List[str] = []
+        self.image: List[str] = []
+        self.label: List[int] = []
+        self._rng = random.Random(cfg.random_seed)
+
+    def __len__(self) -> int:
+        return len(self.label)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        train = self.mode == "train"
+        wave = _audio_fixed(self.audio[idx], self.dataset_name,
+                            self._rng if train else None)
+        entries = listdir_nohidden(self.image[idx])
+        sel = _select_frames(entries, self.n_frames, train,
+                             self.cfg.strict_compat, self._rng)
+        frames = _load_frames(sel)
+        return wave, frames, self.label[idx]
+
+
+class CremadDataset(_AVListDataset):
+    """CREMA-D (dataset/CramedDataset.py:17-110). 6 emotion classes; split
+    csvs under data_root; missing audio/visual pairs skipped (:47-52)."""
+
+    dataset_name = "CREMAD"
+    CLASS_DICT = {"NEU": 0, "HAP": 1, "SAD": 2, "FEA": 3, "DIS": 4, "ANG": 5}
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 data_root: str = "./dataset/data/"):
+        super().__init__(cfg, mode, n_frames=cfg.fps)
+        csv_file = os.path.join(
+            data_root, cfg.dataset,
+            "train.csv" if mode == "train" else "test.csv")
+        with open(csv_file, encoding="UTF-8-sig") as f:
+            for item in csv.reader(f):
+                audio_path = os.path.join(cfg.audio_path, item[0] + ".wav")
+                visual_path = os.path.join(
+                    cfg.visual_path, "Image-{:02d}-FPS".format(cfg.fps),
+                    item[0])
+                if os.path.exists(audio_path) and os.path.exists(visual_path):
+                    self.audio.append(audio_path)
+                    self.image.append(visual_path)
+                    self.label.append(self.CLASS_DICT[item[1]])
+
+
+class KSDataset(_AVListDataset):
+    """Kinetics-Sounds (dataset/KSDataset.py:26-201). 34 classes from
+    class.txt; per-class dirs; <3-frame videos removed; audio/video lists
+    paired by the sorted directory walk."""
+
+    dataset_name = "KineticSound"
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 data_path: str = "./train_test_data/kinect_sound",
+                 class_file: str = "dataset/data/KineticSound/class.txt"):
+        super().__init__(cfg, mode, n_frames=cfg.use_video_frames)
+        with open(class_file) as f:
+            raw = f.readline().split(",")
+        class_list = []
+        for name in raw:
+            parts = [p for p in name.split(" ") if p]
+            class_list.append("_".join(parts))
+        class_dict = {c: i for i, c in enumerate(class_list)}
+
+        sub = ("train_img/Image-01-FPS", "train") if mode == "train" else \
+            ("val_img/Image-01-FPS", "test")
+        visual_root = os.path.join(data_path, "visual", sub[0])
+        audio_root = os.path.join(data_path, "audio", sub[1])
+
+        for class_name in class_list:
+            vdir = os.path.join(visual_root, class_name)
+            adir = os.path.join(audio_root, class_name)
+            if not (os.path.isdir(vdir) and os.path.isdir(adir)):
+                continue
+            removed = set()
+            videos = sorted(os.listdir(vdir))
+            for video in videos:
+                vpath = os.path.join(vdir, video)
+                if len(listdir_nohidden(vpath)) < 3:
+                    removed.add(video)
+                    continue
+                self.image.append(vpath)
+                self.label.append(class_dict[class_name])
+            for audio in sorted(os.listdir(adir)):
+                if audio in removed:
+                    continue
+                self.audio.append(os.path.join(adir, audio))
+        # the reference pairs audio/video by parallel sorted order
+        # (dataset/KSDataset.py:66-93); drop any tail mismatch instead of
+        # crashing on ragged directories
+        n = min(len(self.audio), len(self.image))
+        self.audio, self.image, self.label = (
+            self.audio[:n], self.image[:n], self.label[:n])
+
+
+class VGGSoundDataset(_AVListDataset):
+    """VGGSound (dataset/VGGSoundDataset.py:19-158). 309 classes; ids
+    assigned by first-seen order of TRAIN classes (:91-102); >=3-frame
+    videos only; train/test class-set equality asserted (:90)."""
+
+    dataset_name = "VGGSound"
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 csv_path: str = "./data/VGGSound/vggsound.csv",
+                 data_path: str = "./train_test_data/vggsound/"):
+        super().__init__(cfg, mode, n_frames=cfg.use_video_frames)
+        splits = {"train": ([], [], [], []), "test": ([], [], [], [])}
+        with open(csv_path) as f:
+            for item in csv.reader(f):
+                split = item[3]
+                if split not in splits:
+                    continue
+                name = item[0] + "_" + item[1].zfill(6)
+                if split == "train":
+                    vdir = os.path.join(
+                        data_path, "video/train-set-img",
+                        "Image-{:02d}-FPS".format(cfg.fps), name + ".mp4")
+                    adir = os.path.join(
+                        data_path, "audio/train-audios/train-set",
+                        name + ".wav")
+                else:
+                    vdir = os.path.join(
+                        data_path, "video/test-set-img",
+                        "Image-{:02d}-FPS".format(cfg.fps), name + ".mp4")
+                    adir = os.path.join(
+                        data_path, "audio/test-audios/test-set",
+                        name + ".wav")
+                videos, audios, labels, classes = splits[split]
+                if os.path.exists(vdir) and os.path.exists(adir) and \
+                        len(listdir_nohidden(vdir)) >= 3:
+                    videos.append(vdir)
+                    audios.append(adir)
+                    if item[2] not in classes:
+                        classes.append(item[2])
+                    labels.append(item[2])
+        train_classes = splits["train"][3]
+        test_classes = splits["test"][3]
+        assert len(train_classes) == len(test_classes)
+        class_dict = {c: i for i, c in enumerate(train_classes)}
+        videos, audios, labels, _ = splits[mode]
+        self.image = videos
+        self.audio = audios
+        self.label = [class_dict[l] for l in labels]
+
+
+class AVEDataset(_AVListDataset):
+    """AVE (dataset/AVEDataset.py:14-137). 28 classes derived from the TEST
+    split file (:43-51); '&'-separated rows; dedup; <200-byte wavs skipped
+    (:64); audio 22.05 kHz 3 s n_fft 512 hop 256 + np.resize 224² (:81-88).
+    """
+
+    dataset_name = "AVE"
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 data_root: str = "./train_test_data/AVE_Dataset/"):
+        super().__init__(cfg, mode, n_frames=cfg.num_frame)
+        audio_root = os.path.join(data_root, "Audios")
+        split_file = {
+            "train": "trainSet.txt", "test": "testSet.txt",
+        }.get(mode, "valSet.txt")
+
+        classes: List[str] = []
+        with open(os.path.join(data_root, "testSet.txt")) as f:
+            for line in f:
+                c = line.split("&")[0]
+                if c not in classes:
+                    classes.append(c)
+        class_dict = {c: i for i, c in enumerate(classes)}
+
+        with open(os.path.join(data_root, split_file)) as f:
+            for line in f:
+                item = line.split("&")
+                audio_path = os.path.join(audio_root, item[1] + ".wav")
+                visual_path = os.path.join(
+                    data_root, "Image-{:02d}-FPS-SE".format(cfg.fps), item[1])
+                if os.path.exists(audio_path) and os.path.exists(visual_path):
+                    if os.stat(audio_path).st_size < 200:
+                        continue
+                    if audio_path not in self.audio:
+                        self.audio.append(audio_path)
+                        self.image.append(visual_path)
+                        self.label.append(class_dict[item[0]])
+
+
+class Kinetics400Dataset(_AVListDataset):
+    """Kinetics-400, first 300 sorted classes (dataset/Kinect400.py:26-100);
+    <80 KiB audio and <3-frame videos skipped; 16 kHz 8 s crops."""
+
+    dataset_name = "kinect400"
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 data_path: str = "./train_test_data/kinect400"):
+        super().__init__(cfg, mode, n_frames=cfg.use_video_frames)
+        class_names = sorted(os.listdir(os.path.join(
+            data_path, "audio/train")))[:300]
+        class_dict = {c: i for i, c in enumerate(class_names)}
+        sub = ("train_img/Image-01-FPS", "train") if mode == "train" else \
+            ("val_img/Image-01-FPS", "test")
+        visual_root = os.path.join(data_path, "visual", sub[0])
+        audio_root = os.path.join(data_path, "audio", sub[1])
+        for class_name in class_names:
+            adir = os.path.join(audio_root, class_name)
+            vdir = os.path.join(visual_root, class_name)
+            if not (os.path.isdir(adir) and os.path.isdir(vdir)):
+                continue
+            for audio in sorted(os.listdir(adir)):
+                audio_path = os.path.join(adir, audio)
+                if os.stat(audio_path).st_size < 80 * 1024:
+                    continue
+                video_path = os.path.join(vdir, audio.split(".")[0])
+                if not os.path.isdir(video_path) or \
+                        len(listdir_nohidden(video_path)) < 3:
+                    continue
+                self.audio.append(audio_path)
+                self.image.append(video_path)
+                self.label.append(class_dict[class_name])
+
+
+class AudioSetDataset:
+    """Audio-only stub (dataset/Audioset.py:74-166): 16 kHz 5 s clips,
+    returns (wave, wave, label) — never wired into the reference drivers;
+    provided for capability completeness. The reference's label-lookup bug
+    (file_name is a list, :157-160) is fixed: labels come from a
+    {basename: class_id} csv mapping."""
+
+    dataset_name = "AudioSet"
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 data_path: str = "./train_test_data/audioset",
+                 label_csv: Optional[str] = None):
+        self.cfg = cfg
+        self.mode = mode
+        root = os.path.join(data_path, mode)
+        self.audio = sorted(glob.glob(os.path.join(root, "*.wav")))
+        self.labels = {}
+        if label_csv and os.path.exists(label_csv):
+            with open(label_csv) as f:
+                for row in csv.reader(f):
+                    self.labels[row[0]] = int(row[1])
+
+    def __len__(self):
+        return len(self.audio)
+
+    def __getitem__(self, idx):
+        path = self.audio[idx]
+        sr = 16000
+        wave = load_wav(path, sr)
+        target = sr * 5
+        if len(wave) < target:
+            wave = np.tile(wave, -(-target // max(len(wave), 1)))
+        wave = np.clip(wave[:target], -1, 1).astype(np.float32)
+        name = os.path.splitext(os.path.basename(path))[0]
+        return wave, wave, self.labels.get(name, 0)
+
+
+class AVDataset:
+    """Legacy OGM-GE-era loader (dataset/dataset.py:12-113): pickled
+    precomputed spectrograms + frame_0000N.jpg stride sampling. Kept for
+    capability completeness; unused by the drivers (SURVEY §2.2)."""
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 spec_dir: str = "./data/specs", frame_dir: str = "./data/frames"):
+        import pickle
+
+        self.cfg = cfg
+        self.mode = mode
+        self.samples = []
+        if os.path.isdir(spec_dir):
+            for p in sorted(glob.glob(os.path.join(spec_dir, "*.pkl"))):
+                with open(p, "rb") as f:
+                    self.samples.append((pickle.load(f), p))
+        self.frame_dir = frame_dir
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        spec, path = self.samples[idx]
+        name = os.path.splitext(os.path.basename(path))[0]
+        fdir = os.path.join(self.frame_dir, name)
+        entries = sorted(glob.glob(os.path.join(fdir, "frame_*.jpg")))
+        stride = max(len(entries) // max(self.cfg.use_video_frames, 1), 1)
+        sel = entries[::stride][: self.cfg.use_video_frames]
+        frames = _load_frames(sel) if sel else np.zeros(
+            (self.cfg.use_video_frames, RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3),
+            np.uint8)
+        return np.asarray(spec, np.float32), frames, 0
+
+
+def make_dataset(cfg: Config, mode: str):
+    """Dataset dispatch mirroring main_dgl.py:261-282."""
+    if cfg.dataset == "CREMAD":
+        return CremadDataset(cfg, mode)
+    if cfg.dataset == "KineticSound":
+        return KSDataset(cfg, mode)
+    if cfg.dataset == "VGGSound":
+        return VGGSoundDataset(cfg, mode)
+    if cfg.dataset == "AVE":
+        return AVEDataset(cfg, mode)
+    if cfg.dataset == "kinect400":
+        return Kinetics400Dataset(cfg, mode)
+    raise NotImplementedError(
+        "Incorrect dataset name {}! Only support VGGSound, KineticSound and "
+        "CREMA-D for now!".format(cfg.dataset))

@@ -1,0 +1,84 @@
+"""Host-side batching loader with threaded prefetch.
+
+Replaces torch DataLoader(num_workers=32, pin_memory, drop_last)
+(main_dgl.py:284-288). The heavy per-sample compute already moved on-device
+(see preprocess.py), so the host side is IO-bound decode — a thread pool
+(PIL/scipy release the GIL for the hot parts) plus a bounded prefetch queue
+that keeps batches ready while the device runs the previous step.
+
+drop_last=True is the reference's setting for BOTH train and test loaders;
+the test-side truncation changes reported accuracy (SURVEY §5.5), so it is
+kept for train, and controlled by cfg.eval_drop_last for eval.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, num_workers: int = 8, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self._epoch).shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if chunk:
+                yield chunk
+
+    def _collate(self, pool: ThreadPoolExecutor, indices) -> dict:
+        samples = list(pool.map(self.dataset.__getitem__, indices))
+        waves = np.stack([s[0] for s in samples])
+        frames = np.stack([s[1] for s in samples])
+        labels = np.asarray([s[2] for s in samples], np.int32)
+        return {"wave": waves, "frames": frames, "label": labels}
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        q: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=self.prefetch)
+        err = []
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for indices in self._batch_indices():
+                        q.put(self._collate(pool, indices))
+            except Exception as e:  # surface in consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,43 @@
+"""Device-side batch preprocessing, fused into the jitted train/eval step.
+
+Raw batches {'wave' f32[B,N], 'frames' u8[B,T,R,R,3], 'label' i32[B]} turn
+into model inputs {'audio' [B,F,T,1], 'visual' [B,T,224,224,3], 'label'}
+entirely on-device: STFT+log (ops/stft.py), RandomResizedCrop+flip+normalize
+(ops/image_ops.py) at train, Resize+normalize at eval. XLA fuses the
+elementwise tail into the encoder stems; the host→device transfer is raw
+uint8 frames + f32 waveforms (≈4x less PCIe/ICI traffic than shipping
+normalized f32 pixel stacks like the reference's pipeline would).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from gdl_tpu.config import Config
+from gdl_tpu.ops.image_ops import eval_preprocess, random_resized_crop_flip
+from gdl_tpu.ops.stft import spectrogram_for_dataset
+
+
+def make_train_preprocess(cfg: Config, image_size: int = 224):
+    swin = cfg.backbone == "swin"
+    dataset = cfg.dataset
+
+    def preprocess(batch, rng: jax.Array):
+        audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
+        visual = random_resized_crop_flip(batch["frames"], rng,
+                                          size=image_size)
+        return {"audio": audio, "visual": visual, "label": batch["label"]}
+
+    return preprocess
+
+
+def make_eval_preprocess(cfg: Config, image_size: int = 224):
+    swin = cfg.backbone == "swin"
+    dataset = cfg.dataset
+
+    def preprocess(batch):
+        audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
+        visual = eval_preprocess(batch["frames"], size=image_size)
+        return {"audio": audio, "visual": visual, "label": batch["label"]}
+
+    return preprocess

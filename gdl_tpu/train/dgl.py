@@ -123,15 +123,27 @@ def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
 
 def make_dgl_train_step(model, cfg: Config,
                         optimizer: optax.GradientTransformation,
-                        clip_norm: float = 40.0) -> Callable:
+                        clip_norm: float = 40.0,
+                        preprocess: Optional[Callable] = None,
+                        base_rng: Optional[jax.Array] = None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics). jit/pjit-ready.
+
+    When `preprocess` is given, the batch arrives RAW ({'wave','frames',
+    'label'}) and the whole audio/image frontend runs inside this one
+    compiled step (see gdl_tpu/data/preprocess.py); augmentation randomness
+    derives deterministically from base_rng and the step counter.
 
     Metrics include the reference's per-step diagnostics: post-clip
     per-encoder grad-magnitude sums (main_dgl.py:132-143; the clip is a
     positive scalar, so probe_clipped = clip_coef * probe_raw) and mean
     |unimodal logits| (main_dgl.py:146)."""
+    if preprocess is not None and base_rng is None:
+        base_rng = jax.random.PRNGKey(cfg.random_seed)
 
     def train_step(state: TrainState, batch):
+        if preprocess is not None:
+            rng = jax.random.fold_in(base_rng, state.step)
+            batch = preprocess(batch, rng)
         grad_fn = jax.value_and_grad(
             lambda p: dgl_loss_fn(model, p, state.batch_stats, batch, cfg,
                                   train=True),
@@ -169,7 +181,8 @@ def make_dgl_train_step(model, cfg: Config,
     return train_step
 
 
-def make_eval_step(model, cfg: Config) -> Callable:
+def make_eval_step(model, cfg: Config,
+                   preprocess: Optional[Callable] = None) -> Callable:
     """eval_step(state, batch) -> per-example (pred, pred_a, pred_v, label).
 
     Uses running BN stats (model.eval() semantics, main_dgl.py:186). The
@@ -178,6 +191,8 @@ def make_eval_step(model, cfg: Config) -> Callable:
     per-sample softmax+argmax loop (softmax is monotonic in argmax)."""
 
     def eval_step(state: TrainState, batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         out, out_a, out_v = model.apply(

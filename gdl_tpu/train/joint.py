@@ -1,0 +1,159 @@
+"""Joint multimodal training — the reference main.py path (OGM-GE lineage).
+
+One fused CE loss + optional probabilistic-embedding KL regularizer
+(main.py:92-102 `regurize`, weighted by --beta at main.py:213), feature-
+diversity diagnostics (main.py:77-89), and OGM / OGM-GE per-modality
+gradient modulation applied between the backward pass and the optimizer
+update (the Eq.-10 spec at main.py:286-332; a no-op in the shipped
+reference — live here, disabled under cfg.strict_compat for shipped-code
+behavior, and always off for --modulation Normal).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gdl_tpu.config import Config
+from gdl_tpu.train.dgl import TrainState, cross_entropy
+from gdl_tpu.train.optim import apply_ogm, ogm_coefficients
+
+
+def feature_diversity(feat: jnp.ndarray) -> jnp.ndarray:
+    """main.py:77-89 `get_feature_diversity`, NHWC input.
+
+    Mean over the batch of ||corr(f)||_F / (HW)^2 where corr is the
+    channel-wise correlation matrix between spatial positions (torch.std is
+    unbiased → ddof=1)."""
+    b, h, w, c = feat.shape
+    f = feat.reshape(b, h * w, c).astype(jnp.float32)
+    f = f - jnp.mean(f, axis=2, keepdims=True)
+    sim = jnp.einsum("bic,bjc->bij", f, f)
+    std = jnp.std(f, axis=2, ddof=1)
+    std_matrix = jnp.einsum("bi,bj->bij", std, std)
+    sim = sim / std_matrix
+    norm = jnp.linalg.norm(sim, axis=(1, 2)) / (h * w) ** 2
+    return jnp.mean(norm)
+
+
+def regurize(mul, std) -> jnp.ndarray:
+    """KL(N(mu, std²) ‖ N(0, I)) per sample, summed over features, batch
+    mean (main.py:92-102)."""
+    var = (std ** 2).reshape(std.shape[0], -1).astype(jnp.float32)
+    mu = mul.reshape(mul.shape[0], -1).astype(jnp.float32)
+    kl = 0.5 * (var + mu ** 2 - jnp.log(var + 1e-8) - 1.0)
+    return jnp.mean(jnp.sum(kl, axis=1))
+
+
+def joint_loss_fn(model, params, batch_stats, batch, cfg: Config,
+                  rng: jax.Array, train: bool = True):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {}
+    if train:
+        k_pe, k_drop = jax.random.split(rng)
+        if cfg.pe:
+            rngs["pe"] = k_pe
+        if cfg.drop:
+            rngs["drop"] = k_drop
+    if train:
+        outputs, mutated = model.apply(
+            variables, batch["audio"], batch["visual"], train=True,
+            rngs=rngs, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        outputs = model.apply(variables, batch["audio"], batch["visual"],
+                              train=False)
+        new_stats = batch_stats
+    (a, v, out, a_feature, v_feature,
+     a_mul, a_std, v_mul, v_std, out_a, out_v) = outputs
+
+    loss_f = cross_entropy(out, batch["label"])
+    # live reference overwrites the unimodal losses with loss_f
+    # (main.py:179-181); the unimodal CEs stay as diagnostics
+    if cfg.pe:
+        regurize_a = regurize(a_mul, a_std)
+        regurize_v = regurize(v_mul, v_std)
+    else:
+        regurize_a = jnp.zeros((), jnp.float32)
+        regurize_v = jnp.zeros((), jnp.float32)
+    loss = loss_f + (regurize_a + regurize_v) * cfg.beta
+
+    metrics = {
+        "loss": loss,
+        "loss_f": loss_f,
+        "loss_a": loss_f,  # main.py:180
+        "loss_v": loss_f,  # main.py:181
+        "a_diversity": feature_diversity(a_feature),
+        "v_diversity": feature_diversity(v_feature),
+        "a_re": regurize_a,
+        "v_re": regurize_v,
+        "out_a": out_a,
+        "out_v": out_v,
+    }
+    return loss, (new_stats, metrics)
+
+
+def make_joint_train_step(model, cfg: Config,
+                          optimizer: optax.GradientTransformation,
+                          steps_per_epoch: int,
+                          preprocess: Optional[Callable] = None,
+                          base_rng: Optional[jax.Array] = None) -> Callable:
+    if base_rng is None:
+        base_rng = jax.random.PRNGKey(cfg.random_seed)
+    modulate = (cfg.modulation in ("OGM", "OGM_GE")
+                and not cfg.strict_compat)
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_pre, k_model, k_ogm = jax.random.split(rng, 3)
+        if preprocess is not None:
+            batch = preprocess(batch, k_pre)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: joint_loss_fn(model, p, state.batch_stats, batch, cfg,
+                                    k_model, train=True),
+            has_aux=True)
+        (loss, (new_stats, metrics)), grads = grad_fn(state.params)
+
+        if modulate:
+            epoch = state.step // steps_per_epoch
+            active = jnp.logical_and(cfg.modulation_starts <= epoch,
+                                     epoch <= cfg.modulation_ends)
+            coeff_a, coeff_v = ogm_coefficients(
+                metrics["out_a"], metrics["out_v"], batch["label"], cfg.alpha)
+            grads = apply_ogm(grads, coeff_a, coeff_v, k_ogm, cfg.modulation,
+                              active)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        out_metrics = {k: v for k, v in metrics.items()
+                       if k not in ("out_a", "out_v")}
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats,
+                          opt_state=new_opt_state), out_metrics
+
+    return train_step
+
+
+def make_joint_eval_step(model, cfg: Config,
+                         preprocess: Optional[Callable] = None) -> Callable:
+    """Reference valid() overwrites out_a/out_v with out (main.py:459-460) —
+    reproduced: all three predictions coincide in the joint path."""
+
+    def eval_step(state: TrainState, batch):
+        if preprocess is not None:
+            batch = preprocess(batch)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, batch["audio"], batch["visual"],
+                              train=False)
+        out = outputs[2]
+        pred = jnp.argmax(out, axis=-1)
+        return {"pred": pred, "pred_a": pred, "pred_v": pred,
+                "label": batch["label"]}
+
+    return eval_step

@@ -1,0 +1,237 @@
+"""Epoch-loop orchestration shared by the drivers (main_dgl.py / main.py).
+
+Mirrors the reference driver flow (main_dgl.py:225-418): seed → model →
+optimizer/schedule → loaders → epoch loop {train_epoch, valid, CSV row,
+best-acc checkpoint} — with the TPU-native substitutions: a jit-compiled
+train step over a device mesh instead of DataParallel, device metrics
+fetched at logging cadence instead of per-step .item() syncs (the
+reference's stall point, SURVEY §3.1), and optional exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from gdl_tpu.config import Config
+from gdl_tpu.data.loader import Loader
+from gdl_tpu.data.preprocess import make_eval_preprocess, make_train_preprocess
+from gdl_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    state_sharding,
+)
+from gdl_tpu.train.dgl import (
+    TrainState,
+    create_train_state,
+    make_dgl_train_step,
+    make_eval_step,
+)
+from gdl_tpu.train.joint import make_joint_eval_step, make_joint_train_step
+from gdl_tpu.train.optim import lr_for_epoch, make_optimizer
+from gdl_tpu.utils.checkpoint import (
+    load_legacy_checkpoint,
+    load_train_state,
+    restore_params_into_state,
+    save_legacy_checkpoint,
+    save_train_state,
+)
+from gdl_tpu.utils.logging import CSVLogger, TBLogger
+from gdl_tpu.utils.metrics import PerClassAccuracy
+from gdl_tpu.utils.seed import setup_seed
+
+
+@dataclass
+class Harness:
+    cfg: Config
+    model: object
+    mesh: object
+    state: TrainState
+    train_step: Callable
+    eval_step: Callable
+    batch_sh: object
+    start_epoch: int = 0
+
+
+def build_harness(cfg: Config, model, steps_per_epoch: int,
+                  dgl: bool = True, raw_batches: bool = True,
+                  frames: Optional[int] = None) -> Harness:
+    rng = setup_seed(cfg.random_seed)
+    mesh = make_mesh(cfg.dp, cfg.mp)
+    optimizer = make_optimizer(cfg, steps_per_epoch)
+    state = create_train_state(model, cfg, rng, optimizer, frames=frames)
+
+    train_pre = make_train_preprocess(cfg) if raw_batches else None
+    eval_pre = make_eval_preprocess(cfg) if raw_batches else None
+    if dgl:
+        train_step = make_dgl_train_step(model, cfg, optimizer,
+                                         preprocess=train_pre, base_rng=rng)
+        eval_step = make_eval_step(model, cfg, preprocess=eval_pre)
+    else:
+        train_step = make_joint_train_step(model, cfg, optimizer,
+                                           steps_per_epoch,
+                                           preprocess=train_pre,
+                                           base_rng=rng)
+        eval_step = make_joint_eval_step(model, cfg, preprocess=eval_pre)
+
+    start_epoch = 0
+    if cfg.resume:
+        state, start_epoch, _ = load_train_state(cfg.resume, state)
+        print("Resumed from {} at epoch {}".format(cfg.resume, start_epoch))
+
+    state_sh = state_sharding(state, mesh)
+    state = jax.device_put(state, state_sh)
+    return Harness(
+        cfg=cfg, model=model, mesh=mesh, state=state,
+        train_step=jax.jit(train_step, donate_argnums=(0,)),
+        eval_step=jax.jit(eval_step),
+        batch_sh=batch_sharding(mesh),
+        start_epoch=start_epoch,
+    )
+
+
+def _put_batch(batch: dict, sharding) -> dict:
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def train_one_epoch(h: Harness, loader: Loader, epoch: int,
+                    grad_csv: Optional[CSVLogger] = None,
+                    log_every: int = 100) -> dict:
+    """Returns the 7 epoch-mean scalars of the reference train_epoch
+    (main_dgl.py:164-165 / main.py:356-357)."""
+    cfg = h.cfg
+    if epoch < 20:
+        print(epoch, lr_for_epoch(cfg, epoch))
+    print("Start training ... ")
+    sums = {}
+    count = 0
+    pending = []  # (step, metrics) — fetched at logging cadence
+    t0 = time.time()
+    for step, batch in enumerate(loader):
+        h.state, metrics = h.train_step(h.state, _put_batch(batch, h.batch_sh))
+        pending.append(metrics)
+        if step % log_every == 0:
+            m = jax.device_get(metrics)
+            print("unimodal_loss:", float(m["loss_a"] + m["loss_v"]),
+                  "cls_loss:", float(m["loss_f"]))
+            if "audio_grad_sum" in m:
+                print("grad:", float(m["audio_grad_sum"]),
+                      float(m["visual_grad_sum"]))
+                print("unimodal", float(m["abs_out_a"]),
+                      float(m["abs_out_v"]))
+        count += 1
+    # fetch all step metrics once (keeps the hot loop free of device→host
+    # syncs — the reference's per-step .item() probes stall every step,
+    # SURVEY §3.1)
+    for metrics in pending:
+        m = jax.device_get(metrics)
+        if grad_csv is not None and "audio_grad_sum" in m:
+            grad_csv.write_row([float(m["audio_grad_sum"]),
+                                float(m["visual_grad_sum"])])
+        for k, v in m.items():
+            if np.ndim(v) == 0:
+                sums[k] = sums.get(k, 0.0) + float(v)
+    if grad_csv is not None:
+        grad_csv.flush()
+    means = {k: v / max(count, 1) for k, v in sums.items()}
+    means["steps"] = count
+    means["wall_time"] = time.time() - t0
+    return means
+
+
+def evaluate(h: Harness, loader: Loader) -> tuple:
+    """(acc, acc_a, acc_v) with the reference's per-class accounting."""
+    counters = PerClassAccuracy(h.cfg.n_classes)
+    for batch in loader:
+        out = jax.device_get(
+            h.eval_step(h.state, _put_batch(batch, h.batch_sh)))
+        counters.update(out["pred"], out["pred_a"], out["pred_v"],
+                        out["label"])
+    return counters.results()
+
+
+def run_training(cfg: Config, model, train_set, test_set,
+                 dgl: bool = True) -> float:
+    """Full --train flow (main_dgl.py:296-396). Returns best accuracy."""
+    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                          drop_last=True, num_workers=cfg.num_workers,
+                          seed=cfg.random_seed)
+    test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
+                         drop_last=cfg.eval_drop_last,
+                         num_workers=cfg.num_workers, seed=cfg.random_seed)
+    steps_per_epoch = max(len(train_loader), 1)
+    h = build_harness(cfg, model, steps_per_epoch, dgl=dgl)
+
+    os.makedirs(cfg.ckpt_path, exist_ok=True)
+    acc_csv = CSVLogger(
+        os.path.join(cfg.ckpt_path,
+                     "{}_{}.csv".format(cfg.dataset, cfg.modality)),
+        sentinel=[1000, 1000, 1000])
+    grad_csv = None
+    if dgl and cfg.log_grad_csv and cfg.modality == "full":
+        grad_csv = CSVLogger("audio_visual_grad_vanilla.csv",
+                             flush_every=256)
+    tb = None
+    if cfg.use_tensorboard and cfg.tensorboard_path:
+        tb = TBLogger(cfg.tensorboard_path, cfg.dataset, cfg.fusion_method,
+                      cfg.modulation)
+
+    best_acc = 0.0
+    for epoch in range(h.start_epoch, cfg.epochs):
+        print("Epoch: {}: ".format(epoch))
+        means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv)
+        acc, acc_a, acc_v = evaluate(h, test_loader)
+        acc_csv.write_row([acc, acc_a, acc_v])
+        acc_csv.flush()
+        if tb is not None:
+            tb.log_epoch(epoch,
+                         {"Total Loss": means.get("loss", means.get("loss_f", 0.0)),
+                          "Audio Loss": means.get("loss_a", 0.0),
+                          "Visual Loss": means.get("loss_v", 0.0)},
+                         {"Total Accuracy": acc, "Audio Accuracy": acc_a,
+                          "Visual Accuracy": acc_v})
+
+        if acc > best_acc and epoch:  # epoch>0 guard (main_dgl.py:349)
+            best_acc = float(acc)
+            path = save_legacy_checkpoint(cfg, h.state, epoch, acc)
+            print("The best model has been saved at {}.".format(path))
+            print("Loss: {:.3f}, Acc: {:.3f}".format(
+                means.get("loss_f", 0.0), acc))
+            print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
+                                                                  acc_v))
+        else:
+            print("Loss: {:.3f}, Acc: {:.3f}, Best Acc: {:.3f}".format(
+                means.get("loss_f", 0.0), acc, best_acc))
+            print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
+                                                                  acc_v))
+        if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+            save_train_state(
+                os.path.join(cfg.ckpt_path, "resume_state.msgpack"),
+                h.state, epoch + 1)
+    if grad_csv is not None:
+        grad_csv.close()
+    acc_csv.close()
+    if tb is not None:
+        tb.close()
+    return best_acc
+
+
+def run_eval(cfg: Config, model, test_set, ckpt_path: str,
+             dgl: bool = True) -> tuple:
+    """Eval mode (main_dgl.py:398-418 / valid.py): load + validate."""
+    test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
+                         drop_last=cfg.eval_drop_last,
+                         num_workers=cfg.num_workers, seed=cfg.random_seed)
+    h = build_harness(cfg, model, max(len(test_loader), 1), dgl=dgl)
+    loaded = load_legacy_checkpoint(ckpt_path, cfg)
+    h.state = restore_params_into_state(h.state, loaded)
+    print("Trained model loaded!")
+    acc, acc_a, acc_v = evaluate(h, test_loader)
+    print("Accuracy: {}, accuracy_a: {}, accuracy_v: {}".format(
+        acc, acc_a, acc_v))
+    return acc, acc_a, acc_v

@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Joint training driver — CLI parity with the reference main.py
+(baseline / OGM-GE lineage, PE + KL regularizer, diversity diagnostics).
+
+Note the shipped reference's quirks, reproduced or improved deliberately:
+  - its --modulation flag is a no-op (main.py:261-332, spec commented out);
+    here OGM/OGM_GE are LIVE unless --strict_compat
+  - its checkpoint save is commented out (main.py:653); here best-acc
+    checkpoints are saved like the DGL driver's
+"""
+
+import argparse
+
+from gdl_tpu.config import add_arguments, from_args
+from gdl_tpu.data.datasets import make_dataset
+from gdl_tpu.models.classifier import AVClassifier
+from gdl_tpu.train.loop import run_eval, run_training
+
+
+def get_arguments():
+    parser = argparse.ArgumentParser()
+    add_arguments(parser, dgl=False)
+    return parser.parse_args()
+
+
+def main():
+    args = get_arguments()
+    cfg = from_args(args)
+    print(cfg)
+
+    model = AVClassifier(config=cfg)
+
+    if cfg.train:
+        train_set = make_dataset(cfg, "train")
+        test_set = make_dataset(cfg, "test")
+        run_training(cfg, model, train_set, test_set, dgl=False)
+    else:
+        test_set = make_dataset(cfg, "test")
+        run_eval(cfg, model, test_set, cfg.ckpt_path, dgl=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""End-to-end slice: synthetic CREMA-D-shaped data through the full DGL
+training flow (loader → on-device preprocess → jitted train step over the
+8-device CPU mesh → eval → CSV + best checkpoint), then checkpoint
+round-trip and eval-mode reload — the whole main_dgl.py surface minus real
+media."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gdl_tpu.config import Config
+from gdl_tpu.data.loader import Loader
+from gdl_tpu.data.synthetic import SyntheticDataset, synthetic_batch
+from gdl_tpu.models.classifier import AVClassifierDGL
+from gdl_tpu.train.loop import evaluate, run_eval, run_training
+from gdl_tpu.utils.checkpoint import legacy_checkpoint_name
+
+
+def tiny_cfg(tmp_path, **kw):
+    base = dict(
+        dataset="CREMAD", fusion_method="concat", modulation="Normal",
+        alpha=4.0, fps=2, batch_size=8, epochs=2, learning_rate=0.01,
+        lr_decay_step=[70], ckpt_path=str(tmp_path / "ckpt"), train=True,
+        encoder_width=8, encoder_stages=[1, 1, 1, 1], num_workers=2,
+        log_grad_csv=False, random_seed=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.slow
+def test_dgl_training_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path)
+    model = AVClassifierDGL(config=cfg)
+    train_set = SyntheticDataset(cfg, size=24, seed=0)
+    test_set = SyntheticDataset(cfg, size=16, seed=100)
+
+    best = run_training(cfg, model, train_set, test_set, dgl=True)
+
+    # accuracy CSV with sentinel row
+    csv_path = os.path.join(cfg.ckpt_path, "CREMAD_full.csv")
+    assert os.path.exists(csv_path)
+    rows = open(csv_path).read().strip().splitlines()
+    assert rows[0] == "1000,1000,1000"
+    assert len(rows) == 1 + cfg.epochs
+
+    # best checkpoint with the legacy filename pattern (epoch>0 only)
+    ckpts = glob.glob(os.path.join(cfg.ckpt_path, "best_model_of_dataset_*"))
+    if best > 0:
+        assert len(ckpts) <= cfg.epochs - 1
+    if ckpts:
+        name = os.path.basename(ckpts[0])
+        assert name.startswith(
+            "best_model_of_dataset_CREMAD_Normal_alpha_4.0optimizer_sgd_"
+            "modulate_starts_0_ends_50_epoch_")
+        assert name.endswith(".pth")
+        # eval-mode reload (main_dgl.py:398-418 flow)
+        cfg_eval = tiny_cfg(tmp_path, train=False)
+        acc, acc_a, acc_v = run_eval(cfg_eval, model, test_set, ckpts[0],
+                                     dgl=True)
+        assert 0.0 <= acc <= 1.0
+
+
+def test_legacy_checkpoint_name_pattern():
+    cfg = Config(dataset="CREMAD", modulation="Normal", alpha=5.0,
+                 optimizer="sgd", modulation_starts=0, modulation_ends=50)
+    name = legacy_checkpoint_name(cfg, epoch=42, acc=0.7812)
+    assert name == ("best_model_of_dataset_CREMAD_Normal_alpha_5.0"
+                    "optimizer_sgd_modulate_starts_0_ends_50_"
+                    "epoch_42_acc_0.7812.pth")
+
+
+def test_loader_shapes_and_drop_last():
+    cfg = Config(dataset="CREMAD", fps=2, encoder_width=8)
+    ds = SyntheticDataset(cfg, size=21)
+    loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True,
+                    num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # 21 // 8, last partial dropped
+    b = batches[0]
+    assert b["wave"].shape == (8, 66150)
+    assert b["frames"].shape == (8, 2, 256, 256, 3)
+    assert b["frames"].dtype == np.uint8
+    assert b["label"].shape == (8,)
+
+    # no drop_last keeps the tail
+    loader2 = Loader(ds, batch_size=8, shuffle=False, drop_last=False,
+                     num_workers=2)
+    assert sum(len(b["label"]) for b in loader2) == 21
+
+
+def test_synthetic_batch_matches_dataset_contract():
+    cfg = Config(dataset="KineticSound", use_video_frames=3, encoder_width=8)
+    batch = synthetic_batch(cfg, 4, n_frames=3)
+    assert batch["wave"].shape == (4, 80000)
+    assert batch["frames"].shape == (4, 3, 256, 256, 3)
+    assert batch["label"].max() < 34
