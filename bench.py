@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: CREMA-D DGL training throughput on one TPU chip.
+
+Measures the flagship configuration (cramed_dgl.sh:8): dual ResNet-18 +
+ConcatFusion_DGL, DGL loss, SGD, global batch 64, fps=1 — the FULL jitted
+step including on-device preprocessing (raw waveform → STFT → log-mag;
+uint8 frames → RandomResizedCrop → flip → normalize), in bfloat16 compute.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": clips/s, "unit": "clips/s", "vs_baseline": x}
+
+vs_baseline anchor: the reference records no throughput anywhere (SURVEY
+§6); REFERENCE_CLIPS_PER_SEC below is an engineering estimate of
+main_dgl.py on its README hardware (single CUDA-11.1-era GPU, PyTorch
+1.11): ~10.8 GFLOPs/clip trained at ~35% fp32 MFU ≈ 400 clips/s compute,
+minus the per-step per-parameter .item() grad probes and CSV append that
+sync the device every step (main_dgl.py:132-152) → ~300 clips/s. Replace
+with a measured number when reference hardware is available.
+"""
+
+import json
+import time
+
+REFERENCE_CLIPS_PER_SEC = 300.0  # estimated; see module docstring
+
+BATCH = 64
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.data.preprocess import make_train_preprocess
+    from gdl_tpu.data.synthetic import synthetic_batch
+    from gdl_tpu.models.classifier import AVClassifierDGL
+    from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 fps=1, batch_size=BATCH, learning_rate=2e-3, alpha=5.0,
+                 modulation="Normal", compute_dtype="bfloat16",
+                 log_grad_csv=False)
+    model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
+    optimizer = make_optimizer(cfg, steps_per_epoch=104)  # 6698 // 64
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, optimizer)
+
+    preprocess = make_train_preprocess(cfg)
+    train_step = jax.jit(
+        make_dgl_train_step(model, cfg, optimizer, preprocess=preprocess,
+                            base_rng=rng),
+        donate_argnums=(0,))
+
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, BATCH, seed=1).items()}
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "cremad_dgl_train_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
