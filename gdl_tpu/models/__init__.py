@@ -15,4 +15,6 @@ from gdl_tpu.models.fusion import (  # noqa: F401
 from gdl_tpu.models.classifier import (  # noqa: F401
     AVClassifierDGL,
     AVClassifier,
+    AVClassifierSwin,
 )
+from gdl_tpu.models.swin import SwinTransformer  # noqa: F401

@@ -204,3 +204,59 @@ class AVClassifier(nn.Module):
 
         return (a, v, out, a_feature, v_feature,
                 a_mul, a_std, v_mul, v_std, out_a, out_v)
+
+
+class AVClassifierSwin(nn.Module):
+    """Swin-backbone joint classifier — reconstruction of the MISSING
+    `AVClassifier_SWIN` selected by `--backbone swin` (main.py:500-501;
+    SURVEY §2.5): two SwinTransformer(modality) encoders (audio takes the
+    1-channel 224x224 spectrogram of CramedDataset_swin,
+    dataset/CramedDataset.py:163), a concat head, and the same 11-tuple
+    contract as AVClassifier; mu/std come from the Swin PE branch
+    (swin_transformer.py:643-667).
+
+    Note: the reference's ConcatFusion_Swin head is sized 768*2
+    (fusion_modules.py:80) which mismatches Swin-B's 1024-dim features
+    (SURVEY §2.4); the head here is sized to the real feature dim."""
+
+    config: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from gdl_tpu.models.fusion import ConcatFusionSwin
+        from gdl_tpu.models.swin import SwinTransformer
+
+        cfg = self.config
+        pe = bool(cfg.pe)
+        self.audio_net = SwinTransformer(
+            modality="audio", pe=pe, dtype=self.dtype)
+        self.visual_net = SwinTransformer(
+            modality="visual", pe=pe, dtype=self.dtype)
+        self.fusion_module = ConcatFusionSwin(
+            input_dim=2 * 1024, output_dim=cfg.n_classes, dtype=self.dtype)
+
+    def __call__(self, audio, visual, train: bool = False):
+        cfg = self.config
+        if cfg.pe:
+            a, a_mul, a_std = self.audio_net(audio, train=train)
+            v_pooled, v_mul, v_std = self.visual_net(visual, train=train)
+            a_feature = a_mul  # pre-pool maps for the diversity diagnostic
+            v_feature = v_mul
+            bt = v_pooled.shape[0]
+            b = audio.shape[0]
+            v = jnp.mean(v_pooled.reshape(b, bt // b, -1), axis=1)
+        else:
+            a_feature = self.audio_net(audio, train=train)
+            v_feature = self.visual_net(visual, train=train)
+            a = _pool_audio(a_feature)
+            v = _pool_visual(v_feature, audio.shape[0])
+            a_mul = a_std = v_mul = v_std = 0
+
+        if train and cfg.drop:
+            a, v = _modality_drop(a, v, self.make_rng("drop"))
+
+        x_out, y_out, out = self.fusion_module(a, v)
+        _, _, out_a = self.fusion_module(a, jnp.zeros_like(v))
+        _, _, out_v = self.fusion_module(jnp.zeros_like(a), v)
+        return (a, v, out, a_feature, v_feature,
+                a_mul, a_std, v_mul, v_std, out_a, out_v)

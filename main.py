@@ -13,7 +13,7 @@ import argparse
 
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.data.datasets import make_dataset
-from gdl_tpu.models.classifier import AVClassifier
+from gdl_tpu.models.classifier import AVClassifier, AVClassifierSwin
 from gdl_tpu.train.loop import run_eval, run_training
 
 
@@ -28,7 +28,11 @@ def main():
     cfg = from_args(args)
     print(cfg)
 
-    model = AVClassifier(config=cfg)
+    # backbone dispatch (main.py:496-501)
+    if cfg.backbone == "swin":
+        model = AVClassifierSwin(config=cfg)
+    else:
+        model = AVClassifier(config=cfg)
 
     if cfg.train:
         train_set = make_dataset(cfg, "train")

@@ -1,0 +1,113 @@
+"""Swin encoder: shape contract, shifted-window machinery, PE branch, and
+XLA-vs-Pallas window-attention equality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from gdl_tpu.models.swin import (
+    SwinTransformer,
+    relative_position_index,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+from gdl_tpu.ops.window_attention import (
+    window_attention_pallas,
+    window_attention_xla,
+)
+
+TINY = dict(img_size=32, patch_size=4, embed_dim=16, depths=(1, 2),
+            num_heads=(2, 4), window=4, drop_path_rate=0.1)
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    wins = window_partition(x, 4)
+    assert wins.shape == (2 * 4, 16, 3)
+    back = window_reverse(wins, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_matches_torch_recipe():
+    """Independent torch construction of the standard Swin index."""
+    w = 7
+    coords = torch.stack(torch.meshgrid(torch.arange(w), torch.arange(w),
+                                        indexing="ij"))
+    flat = torch.flatten(coords, 1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += w - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    ref = rel.sum(-1).numpy()
+    np.testing.assert_array_equal(relative_position_index(w), ref)
+
+
+def test_shift_mask_blocks_cross_boundary_attention():
+    mask = shift_attn_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    # the first (interior) window needs no masking
+    assert np.all(mask[0] == 0.0)
+    # boundary windows do
+    assert (mask == -100.0).any()
+
+
+def test_swin_audio_forward_shape():
+    model = SwinTransformer(modality="audio", **TINY)
+    x = jnp.ones((2, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    # 32/4 = 8 tokens/side, one merge → 4x4, dim 16*2
+    assert out.shape == (2, 4, 4, 32)
+
+
+def test_swin_visual_folds_time():
+    model = SwinTransformer(modality="visual", **TINY)
+    x = jnp.ones((2, 3, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (6, 4, 4, 32)
+
+
+def test_swin_pe_branch_returns_sampled_mu_std():
+    model = SwinTransformer(modality="audio", pe=True, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out, mu, std = model.apply(variables, x, train=False)
+    assert out.shape == (2, 32)
+    assert mu.shape == (2, 4, 4, 32)
+    assert std.shape == mu.shape
+    assert np.all(np.asarray(std) > 0)
+    # eval: out == pooled mu
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.mean(mu, axis=(1, 2))),
+                               rtol=1e-5, atol=1e-6)
+    # train: reparameterized sample differs from mu
+    (out_t, _, _), _ = model.apply(
+        variables, x, train=True,
+        rngs={"droppath": jax.random.PRNGKey(2), "pe": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out_t), np.asarray(out))
+
+
+def test_pallas_window_attention_matches_xla():
+    rng = np.random.default_rng(0)
+    b, h, n, d = 8, 4, 49, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+    mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4])  # nW=4 divides b=8
+
+    ref = window_attention_xla(q, k, v, bias, mask)
+    out = window_attention_pallas(q, k, v, bias, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+    ref2 = window_attention_xla(q, k, v, bias, None)
+    out2 = window_attention_pallas(q, k, v, bias, None)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-4,
+                               atol=2e-5)
