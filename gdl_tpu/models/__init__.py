@@ -18,3 +18,18 @@ from gdl_tpu.models.classifier import (  # noqa: F401
     AVClassifierSwin,
 )
 from gdl_tpu.models.swin import SwinTransformer  # noqa: F401
+from gdl_tpu.models.se_resnet import SELayer, SEStem, SETrunk  # noqa: F401
+from gdl_tpu.models.intermediate import (  # noqa: F401
+    MMTM,
+    MMTMNet,
+    SEFusionNet,
+    MMFormer,
+    MMFormerN,
+)
+from gdl_tpu.models.transformer import (  # noqa: F401
+    MMTransformerModel,
+    TransformerModel,
+    LearnedPositionalEncoding,
+    modality_drop,
+    unbalance_modality_drop,
+)
