@@ -42,12 +42,13 @@ AUDIO_PARAMS = {
 
 
 def spectrogram_shape(dataset: str, swin: bool = False) -> Tuple[int, int]:
-    """(freq_bins, frames) of the log-STFT for a dataset.
+    """(freq_bins, frames) of the spectrogram fed to the audio encoder.
 
     center=True STFT: frames = 1 + num_samples // hop; bins = n_fft//2 + 1.
-    Swin runs resize the spectrogram to 224x224 (CramedDataset.py:163).
+    Swin runs resize the spectrogram to 224x224 (CramedDataset.py:163), and
+    AVE does so unconditionally (dataset/AVEDataset.py:88).
     """
-    if swin:
+    if swin or dataset == "AVE":
         return (224, 224)
     p = AUDIO_PARAMS[dataset]
     n = p["sample_rate"] * p["seconds"]

@@ -71,12 +71,13 @@ def spectrogram_for_dataset(wave: jnp.ndarray, dataset: str,
     resampled) waveform → [B, F, T, 1] NHWC log-spectrogram ready for the
     audio encoder stem. Swin runs "resize" to 224x224 — the reference uses
     np.resize (dataset/CramedDataset.py:163), which is a FLAT wrap-around
-    repeat/truncate, not an image resize; reproduced faithfully."""
+    repeat/truncate, not an image resize; reproduced faithfully. AVE does
+    the same unconditionally (dataset/AVEDataset.py:88)."""
     from gdl_tpu.config import AUDIO_PARAMS
 
     p = AUDIO_PARAMS[dataset]
     spec = log_stft(wave, p["n_fft"], p["hop"])
-    if swin:
+    if swin or dataset == "AVE":
         spec = np_resize_flat(spec, (224, 224))
     return spec[..., None]
 

@@ -42,15 +42,18 @@ def test_log_stft_matches_torch(dataset):
     ours = np.asarray(log_stft(jnp.asarray(wave), p["n_fft"], p["hop"]))
     ref = np.stack([torch_log_stft(w, p["n_fft"], p["hop"]) for w in wave])
 
-    assert ours.shape == (2,) + spectrogram_shape(dataset)
+    assert ours.shape == (2, p["n_fft"] // 2 + 1, 1 + n // p["hop"])
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_cremad_spectrogram_shape():
     """[257, 188] — the exact shape main_dgl feeds the audio stem
-    (SURVEY §2.2)."""
+    (SURVEY §2.2); KS [129, 626]; AVE np.resized to 224² (AVEDataset.py:88);
+    swin variants 224² (CramedDataset.py:163)."""
     assert spectrogram_shape("CREMAD") == (257, 188)
     assert spectrogram_shape("KineticSound") == (129, 626)
+    assert spectrogram_shape("AVE") == (224, 224)
+    assert spectrogram_shape("CREMAD", swin=True) == (224, 224)
 
 
 def test_prepare_waveform_tile_and_clip():
