@@ -84,10 +84,31 @@ def _load_frames(paths: List[str]) -> np.ndarray:
 
 def _audio_fixed(path: str, dataset: str,
                  rng: Optional[random.Random]) -> np.ndarray:
-    """Decode + resample + tile/crop/clip to the dataset's fixed length."""
+    """Decode + resample + tile/crop/clip to the dataset's fixed length.
+
+    Uses the native C++ fused pipeline (native/gdl_host.cpp via
+    gdl_tpu/data/native.py) when available; otherwise the pure-Python
+    path below (same numerics, tests/test_native.py)."""
+    from gdl_tpu.data import native
+
     p = AUDIO_PARAMS[dataset]
     sr = p["sample_rate"]
     target = sr * p["seconds"]
+    if native.available():
+        try:
+            if dataset in ("CREMAD", "AVE"):
+                return native.wav_to_fixed(path, sr, target, tile=3, start=0)
+            n_in, rate = native.wav_info(path)
+            n_res = n_in * sr // rate  # post-resample length (approx ok)
+            tiles, length = 1, max(n_res, 1)
+            while length < sr * 10:
+                length *= 2
+                tiles *= 2
+            start = rng.randint(0, sr * 5) if rng is not None else 0
+            return native.wav_to_fixed(path, sr, target, tile=tiles,
+                                       start=start)
+        except ValueError:
+            pass  # corrupt/unsupported file → python path below
     wave = load_wav(path, sr)
     if dataset in ("CREMAD", "AVE"):
         # np.tile(samples, 3)[:3 s] (dataset/CramedDataset.py:61)

@@ -1,0 +1,151 @@
+"""ctypes binding for the native host-pipeline kernels (native/gdl_host.cpp).
+
+Auto-builds native/libgdlhost.so with g++ on first use when missing (the
+image ships no pybind11; ctypes releases the GIL per call, so the loader's
+thread pool scales decode/resample across cores). Falls back silently to
+the pure-Python path (gdl_tpu/data/wav.py) when no compiler is available.
+
+The polyphase taps and scipy-compatible upfirdn slicing (skip / n_out) are
+computed here exactly as scipy.signal.resample_poly does, so the native
+resampler matches the scipy path to float32 rounding (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import math
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "gdl_host.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libgdlhost.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+             "-std=c++17", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GDL_DISABLE_NATIVE"):
+            return None
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.gdl_wav_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.gdl_wav_read.argtypes = [ctypes.c_char_p, _f32p, ctypes.c_int32]
+        lib.gdl_upfirdn.argtypes = [
+            _f32p, ctypes.c_int32, _f32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _f32p, ctypes.c_int32]
+        lib.gdl_wav_to_fixed.argtypes = [
+            ctypes.c_char_p, _f32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _f32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+@functools.lru_cache(maxsize=32)
+def _poly_filter(up: int, down: int) -> Tuple[np.ndarray, int, int]:
+    """(padded taps, half_len, n_pre_remove) per scipy resample_poly."""
+    from scipy.signal import firwin
+
+    max_rate = max(up, down)
+    f_c = 1.0 / max_rate
+    half_len = 10 * max_rate
+    h = firwin(2 * half_len + 1, f_c, window=("kaiser", 5.0)) * up
+    n_pre_pad = down - half_len % down
+    n_pre_remove = (half_len + n_pre_pad) // down
+    h = np.concatenate([np.zeros(n_pre_pad), h]).astype(np.float32)
+    return np.ascontiguousarray(h), half_len, n_pre_remove
+
+
+def _resample_params(n_in: int, orig_sr: int, target_sr: int):
+    g = math.gcd(orig_sr, target_sr)
+    up, down = target_sr // g, orig_sr // g
+    if up == down:
+        return 1, 1, np.zeros(1, np.float32), 0, n_in
+    h, _, skip = _poly_filter(up, down)
+    n_out = n_in * up // down + bool((n_in * up) % down)
+    return up, down, h, skip, n_out
+
+
+def wav_info(path: str) -> Tuple[int, int]:
+    lib = get_lib()
+    n = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    rc = lib.gdl_wav_info(path.encode(), ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"{path}: native WAV parse failed ({rc})")
+    return int(n.value), int(rate.value)
+
+
+def load_wav(path: str, sr: int) -> np.ndarray:
+    """Native librosa.load(path, sr) equivalent."""
+    lib = get_lib()
+    n_in, rate = wav_info(path)
+    raw = np.empty(n_in, np.float32)
+    frames = lib.gdl_wav_read(path.encode(), raw, n_in)
+    if frames < 0:
+        raise ValueError(f"{path}: native WAV read failed ({frames})")
+    raw = raw[:frames]
+    if rate == sr:
+        return raw
+    up, down, h, skip, n_out = _resample_params(frames, rate, sr)
+    out = np.empty(n_out, np.float32)
+    lib.gdl_upfirdn(np.ascontiguousarray(raw), frames, h, len(h), up, down,
+                    skip, out, n_out)
+    return out
+
+
+def wav_to_fixed(path: str, sr: int, target_len: int, tile: int,
+                 start: int = 0) -> Optional[np.ndarray]:
+    """Fused decode + resample + tile/crop/clip. Returns None when the
+    native library is unavailable (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_in, rate = wav_info(path)
+    up, down, h, skip, n_out = _resample_params(n_in, rate, sr)
+    out = np.empty(target_len, np.float32)
+    rc = lib.gdl_wav_to_fixed(path.encode(), h, len(h), up, down, skip,
+                              n_out, tile, start, target_len, out)
+    if rc != 0:
+        raise ValueError(f"{path}: native pipeline failed ({rc})")
+    return out
