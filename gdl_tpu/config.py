@@ -112,6 +112,8 @@ class Config:
     # smaller values give cheap models for tests/CI
     encoder_stages: Optional[List[int]] = None  # blocks per stage; None =
     # backbone default ((2,2,2,2) for resnet18)
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of a
+    # few steady-state steps of the first epoch into this directory
 
     def __post_init__(self):
         if isinstance(self.lr_decay_step, str):
@@ -206,6 +208,7 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--resume", default=None, type=str)
     parser.add_argument("--save_every", default=d.save_every, type=int)
     parser.add_argument("--num_workers", default=d.num_workers, type=int)
+    parser.add_argument("--profile_dir", default=None, type=str)
 
 
 def from_args(args: argparse.Namespace) -> Config:

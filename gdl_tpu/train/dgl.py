@@ -154,10 +154,13 @@ def make_dgl_train_step(model, cfg: Config,
         clip_coef = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
         audio_probe = jnp.zeros((), jnp.float32)
         visual_probe = jnp.zeros((), jnp.float32)
-        if cfg.modality in ("full", "audio"):
-            audio_probe = clip_coef * _encoder_grad_probe(grads, "audio_net")
-        if cfg.modality in ("full", "visual"):
-            visual_probe = clip_coef * _encoder_grad_probe(grads, "visual_net")
+        if cfg.log_grad_csv:  # probes are pure diagnostics; skip when off
+            if cfg.modality in ("full", "audio"):
+                audio_probe = clip_coef * _encoder_grad_probe(grads,
+                                                              "audio_net")
+            if cfg.modality in ("full", "visual"):
+                visual_probe = clip_coef * _encoder_grad_probe(grads,
+                                                               "visual_net")
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params)

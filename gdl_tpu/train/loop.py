@@ -112,8 +112,13 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
     count = 0
     pending = []  # (step, metrics) — fetched at logging cadence
     t0 = time.time()
+    from gdl_tpu.utils.profiling import step_trace
+
+    profile_dir = cfg.profile_dir if epoch == 0 else None
     for step, batch in enumerate(loader):
-        h.state, metrics = h.train_step(h.state, _put_batch(batch, h.batch_sh))
+        with step_trace(profile_dir, step):
+            h.state, metrics = h.train_step(
+                h.state, _put_batch(batch, h.batch_sh))
         pending.append(metrics)
         if step % log_every == 0:
             m = jax.device_get(metrics)

@@ -12,6 +12,7 @@ Note the shipped reference's quirks, reproduced or improved deliberately:
 import argparse
 
 from gdl_tpu.config import add_arguments, from_args
+from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
 from gdl_tpu.models.classifier import AVClassifier, AVClassifierSwin
 from gdl_tpu.train.loop import run_eval, run_training
@@ -24,6 +25,7 @@ def get_arguments():
 
 
 def main():
+    maybe_initialize()  # multi-host: no-op unless a coordinator is set
     args = get_arguments()
     cfg = from_args(args)
     print(cfg)

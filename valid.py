@@ -9,6 +9,7 @@ valid.py:148), run the per-class accuracy accounting over the test split.
 import argparse
 
 from gdl_tpu.config import add_arguments, from_args
+from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
 from gdl_tpu.models.classifier import AVClassifierDGL
 from gdl_tpu.train.loop import run_eval
@@ -21,6 +22,7 @@ def get_arguments():
 
 
 def modal_main():
+    maybe_initialize()  # multi-host: no-op unless a coordinator is set
     args = get_arguments()
     cfg = from_args(args)
     print(cfg)
