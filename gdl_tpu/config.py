@@ -114,6 +114,17 @@ class Config:
     # backbone default ((2,2,2,2) for resnet18)
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of a
     # few steady-state steps of the first epoch into this directory
+    # Swin hyperparameters (reference Swin-B defaults,
+    # swin_transformer.py:513-518); overridable for small configs/tests
+    swin_embed_dim: int = 128
+    swin_depths: List[int] = dataclasses.field(
+        default_factory=lambda: [2, 2, 18, 2])
+    swin_heads: List[int] = dataclasses.field(
+        default_factory=lambda: [4, 8, 16, 32])
+    swin_window: int = 7
+    swin_img_size: int = 224
+    swin_patch: int = 4
+    use_pallas_attn: bool = False  # Pallas fused window attention
 
     def __post_init__(self):
         if isinstance(self.lr_decay_step, str):

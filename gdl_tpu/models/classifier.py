@@ -228,12 +228,18 @@ class AVClassifierSwin(nn.Module):
 
         cfg = self.config
         pe = bool(cfg.pe)
-        self.audio_net = SwinTransformer(
-            modality="audio", pe=pe, dtype=self.dtype)
-        self.visual_net = SwinTransformer(
-            modality="visual", pe=pe, dtype=self.dtype)
+        kw = dict(img_size=cfg.swin_img_size, patch_size=cfg.swin_patch,
+                  embed_dim=cfg.swin_embed_dim,
+                  depths=tuple(cfg.swin_depths),
+                  num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
+                  use_pallas_attn=cfg.use_pallas_attn, pe=pe,
+                  dtype=self.dtype)
+        self.audio_net = SwinTransformer(modality="audio", **kw)
+        self.visual_net = SwinTransformer(modality="visual", **kw)
+        feat_dim = cfg.swin_embed_dim * 2 ** (len(cfg.swin_depths) - 1)
         self.fusion_module = ConcatFusionSwin(
-            input_dim=2 * 1024, output_dim=cfg.n_classes, dtype=self.dtype)
+            input_dim=2 * feat_dim, output_dim=cfg.n_classes,
+            dtype=self.dtype)
 
     def __call__(self, audio, visual, train: bool = False):
         cfg = self.config

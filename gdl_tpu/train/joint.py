@@ -53,11 +53,14 @@ def joint_loss_fn(model, params, batch_stats, batch, cfg: Config,
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {}
     if train:
-        k_pe, k_drop = jax.random.split(rng)
+        k_pe, k_drop, k_dp, k_do = jax.random.split(rng, 4)
         if cfg.pe:
             rngs["pe"] = k_pe
         if cfg.drop:
             rngs["drop"] = k_drop
+        if cfg.backbone == "swin":  # stochastic depth + dropout streams
+            rngs["droppath"] = k_dp
+            rngs["dropout"] = k_do
     if train:
         outputs, mutated = model.apply(
             variables, batch["audio"], batch["visual"], train=True,
