@@ -150,7 +150,10 @@ class SEFusionNet(nn.Module):
                                  dtype=self.dtype)
         self.trunk = SETrunk(self.num_classes, self.width, self.dtype)
 
-    def __call__(self, rgb, depth, train: bool = False):
+    def __call__(self, rgb, depth, train: bool = False,
+                 av_inputs: bool = False):
+        if av_inputs:  # (spectrogram, frames) → two image streams
+            rgb, depth = av_adapt(rgb, depth)
         x = jnp.concatenate([self.stem_rgb(rgb, train),
                              self.stem_depth(depth, train)], axis=-1)
         return self.trunk(x, train)
