@@ -1,0 +1,83 @@
+"""Reference-quirk policy tests: strict_compat behaviors, preprocess
+geometry for AVE/swin, and loader error propagation."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdl_tpu.config import Config
+from gdl_tpu.data.datasets import _select_frames
+from gdl_tpu.data.loader import Loader
+from gdl_tpu.data.preprocess import make_eval_preprocess
+from gdl_tpu.data.synthetic import synthetic_batch
+
+
+def test_strict_compat_first_n_frame_selection():
+    """The reference draws random frame indices then ignores them, reading
+    the first N entries (dataset/CramedDataset.py:92-96). strict_compat
+    reproduces first-N; the default samples at train."""
+    entries = [f"f{i:03d}.jpg" for i in range(10)]
+    rng = random.Random(0)
+    strict = _select_frames(entries, 3, train=True, strict_compat=True,
+                            rng=rng)
+    assert strict == ["f000.jpg", "f001.jpg", "f002.jpg"]
+    # default: a sorted random subset; over many draws it must differ from
+    # first-N at least once
+    seen_other = False
+    for _ in range(10):
+        sel = _select_frames(entries, 3, train=True, strict_compat=False,
+                             rng=rng)
+        assert sel == sorted(sel) and len(sel) == 3
+        seen_other |= sel != strict
+    assert seen_other
+    # eval: deterministic first-N either way
+    assert _select_frames(entries, 3, train=False, strict_compat=False,
+                          rng=rng) == strict
+    # short clips pad by repeating the last frame
+    assert _select_frames(["a.jpg"], 3, False, False, rng) == ["a.jpg"] * 3
+
+
+def test_ave_preprocess_geometry():
+    """AVE spectrograms are np.resize'd to 224² (AVEDataset.py:88) — flat
+    wrap-around, not an image resize."""
+    cfg = Config(dataset="AVE", num_frame=1, fps=1)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, 2, n_frames=1).items()}
+    out = make_eval_preprocess(cfg)(batch)
+    assert out["audio"].shape == (2, 224, 224, 1)
+    # wrap-around property: element [0, 0, k] equals flattened raw value k
+    from gdl_tpu.ops.stft import log_stft
+    raw = log_stft(batch["wave"], 512, 256)
+    flat = np.asarray(raw).reshape(2, -1)  # 257·259 = 66563 elements
+    got = np.asarray(out["audio"])[..., 0].reshape(2, -1)  # truncated 224²
+    np.testing.assert_allclose(got, flat[:, :got.shape[1]], rtol=1e-5,
+                               atol=1e-6)
+    # and np.resize agreement per-sample
+    np.testing.assert_allclose(
+        got[0].reshape(224, 224), np.resize(np.asarray(raw)[0], (224, 224)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_swin_preprocess_geometry():
+    cfg = Config(dataset="CREMAD", backbone="swin", fps=1)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, 2, n_frames=1).items()}
+    out = make_eval_preprocess(cfg)(batch)
+    assert out["audio"].shape == (2, 224, 224, 1)
+
+
+def test_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode exploded")
+
+    loader = Loader(Bad(), batch_size=2, shuffle=False, drop_last=False,
+                    num_workers=2)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(loader)
