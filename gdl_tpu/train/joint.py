@@ -39,6 +39,23 @@ def feature_diversity(feat: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(norm)
 
 
+def feature_diff(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """main.py:105-122 `get_feature_diff`: adaptive-avg-pool both NHWC maps
+    to 7x7 and take the MSE over flattened channel vectors (a cross-modal
+    similarity diagnostic; computed-but-unused in the reference's live loop,
+    main.py:169-170)."""
+
+    def pool7(x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x.astype(jnp.float32), (b, 7, 7, c),
+                             method="linear") if (h, w) != (7, 7) else \
+            x.astype(jnp.float32)
+        return x.reshape(-1, c)
+
+    a, b = pool7(x1), pool7(x2)
+    return jnp.mean((a - b) ** 2)
+
+
 def regurize(mul, std) -> jnp.ndarray:
     """KL(N(mu, std²) ‖ N(0, I)) per sample, summed over features, batch
     mean (main.py:92-102)."""

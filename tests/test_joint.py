@@ -150,3 +150,14 @@ def test_joint_training_end_to_end(tmp_path, monkeypatch):
     train_set = SyntheticDataset(cfg, size=16)
     test_set = SyntheticDataset(cfg, size=8, seed=50)
     run_training(cfg, model, train_set, test_set, dgl=False)
+
+
+def test_feature_diff_mse():
+    from gdl_tpu.train.joint import feature_diff
+
+    x = jnp.ones((2, 7, 7, 4))
+    y = jnp.zeros((2, 7, 7, 4))
+    assert np.isclose(float(feature_diff(x, y)), 1.0)
+    # differently-sized maps are pooled to 7x7 first
+    z = jnp.ones((2, 9, 6, 4))
+    assert np.isclose(float(feature_diff(x, z)), 0.0, atol=1e-6)
