@@ -11,6 +11,8 @@ Note the shipped reference's quirks, reproduced or improved deliberately:
 
 import argparse
 
+import jax.numpy as jnp
+
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
@@ -29,12 +31,14 @@ def main():
     args = get_arguments()
     cfg = from_args(args)
     print(cfg)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
 
     # backbone dispatch (main.py:496-501)
     if cfg.backbone == "swin":
-        model = AVClassifierSwin(config=cfg)
+        model = AVClassifierSwin(config=cfg, dtype=dtype)
     else:
-        model = AVClassifier(config=cfg)
+        model = AVClassifier(config=cfg, dtype=dtype)
 
     if cfg.train:
         train_set = make_dataset(cfg, "train")

@@ -13,6 +13,8 @@ jax.sharding.Mesh.
 
 import argparse
 
+import jax.numpy as jnp
+
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
@@ -31,11 +33,13 @@ def main():
     args = get_arguments()
     cfg = from_args(args)
     print(cfg)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
 
     if cfg.backbone != "resnet":
         raise EOFError  # main_dgl.py:239-240 accepts only resnet here
 
-    model = AVClassifierDGL(config=cfg)
+    model = AVClassifierDGL(config=cfg, dtype=dtype)
 
     if cfg.train:
         train_set = make_dataset(cfg, "train")

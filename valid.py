@@ -8,6 +8,8 @@ valid.py:148), run the per-class accuracy accounting over the test split.
 
 import argparse
 
+import jax.numpy as jnp
+
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
@@ -26,7 +28,9 @@ def modal_main():
     args = get_arguments()
     cfg = from_args(args)
     print(cfg)
-    model = AVClassifierDGL(config=cfg)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    model = AVClassifierDGL(config=cfg, dtype=dtype)
     test_set = make_dataset(cfg, "test")
     return run_eval(cfg, model, test_set, cfg.ckpt_path, dgl=True)
 
