@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from gdl_tpu.config import Config

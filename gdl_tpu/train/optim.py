@@ -24,7 +24,7 @@ Numerics parity with the reference:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ New capability the reference lacks (SURVEY §5.3/5.4: no mid-run resume):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
