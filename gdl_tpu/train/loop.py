@@ -110,9 +110,22 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
     print("Start training ... ")
     sums = {}
     count = 0
-    pending = []  # (step, metrics) — fetched at logging cadence
+    pending = []  # step metrics, drained in chunks — keeps the hot loop
+    # free of device→host syncs (the reference's per-step .item() probes
+    # stall every step, SURVEY §3.1) without holding an epoch of buffers
     t0 = time.time()
     from gdl_tpu.utils.profiling import step_trace
+
+    def drain():
+        for metrics in pending:
+            m = jax.device_get(metrics)
+            if grad_csv is not None and "audio_grad_sum" in m:
+                grad_csv.write_row([float(m["audio_grad_sum"]),
+                                    float(m["visual_grad_sum"])])
+            for k, v in m.items():
+                if np.ndim(v) == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        pending.clear()
 
     profile_dir = cfg.profile_dir if epoch == 0 else None
     for step, batch in enumerate(loader):
@@ -120,6 +133,8 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
             h.state, metrics = h.train_step(
                 h.state, _put_batch(batch, h.batch_sh))
         pending.append(metrics)
+        if len(pending) >= 512:
+            drain()
         if step % log_every == 0:
             m = jax.device_get(metrics)
             print("unimodal_loss:", float(m["loss_a"] + m["loss_v"]),
@@ -130,17 +145,7 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
                 print("unimodal", float(m["abs_out_a"]),
                       float(m["abs_out_v"]))
         count += 1
-    # fetch all step metrics once (keeps the hot loop free of device→host
-    # syncs — the reference's per-step .item() probes stall every step,
-    # SURVEY §3.1)
-    for metrics in pending:
-        m = jax.device_get(metrics)
-        if grad_csv is not None and "audio_grad_sum" in m:
-            grad_csv.write_row([float(m["audio_grad_sum"]),
-                                float(m["visual_grad_sum"])])
-        for k, v in m.items():
-            if np.ndim(v) == 0:
-                sums[k] = sums.get(k, 0.0) + float(v)
+    drain()
     if grad_csv is not None:
         grad_csv.flush()
     means = {k: v / max(count, 1) for k, v in sums.items()}
