@@ -5,6 +5,7 @@ round-trip and eval-mode reload — the whole main_dgl.py surface minus real
 media."""
 
 import glob
+import jax.numpy as jnp
 import os
 
 import jax
@@ -99,3 +100,40 @@ def test_synthetic_batch_matches_dataset_contract():
     assert batch["wave"].shape == (4, 80000)
     assert batch["frames"].shape == (4, 3, 256, 256, 3)
     assert batch["label"].max() < 34
+
+
+@pytest.mark.slow
+def test_save_every_and_resume_continuity(tmp_path, monkeypatch):
+    """--save_every writes a resumable TrainState; --resume restarts at the
+    saved epoch with identical params (capability the reference lacks,
+    SURVEY §5.4)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, epochs=2, save_every=1)
+    model = AVClassifierDGL(config=cfg)
+    train_set = SyntheticDataset(cfg, size=16, seed=0)
+    test_set = SyntheticDataset(cfg, size=8, seed=100)
+    run_training(cfg, model, train_set, test_set, dgl=True)
+
+    resume_path = os.path.join(cfg.ckpt_path, "resume_state.msgpack")
+    assert os.path.exists(resume_path)
+
+    from gdl_tpu.train.loop import build_harness
+
+    cfg2 = tiny_cfg(tmp_path, epochs=2, resume=resume_path)
+    h = build_harness(cfg2, model, steps_per_epoch=2, dgl=True)
+    assert h.start_epoch == 2  # saved after the final epoch
+    assert int(jax.device_get(h.state.step)) == 4  # 2 epochs x 2 steps
+
+
+def test_visual_time_pooling_semantics():
+    """The visual fold [B,T,...]→[B·T,...] and unfold-with-mean must equal
+    a plain per-frame mean (basic_model.py:73-82 reshape/permute chain)."""
+    from gdl_tpu.models.classifier import _pool_visual
+
+    b, t, h, w, c = 2, 3, 4, 4, 5
+    rng = np.random.default_rng(0)
+    per_frame = rng.standard_normal((b, t, h, w, c)).astype(np.float32)
+    folded = jnp.asarray(per_frame.reshape(b * t, h, w, c))
+    pooled = np.asarray(_pool_visual(folded, b))
+    ref = per_frame.mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(pooled, ref, rtol=1e-6)
