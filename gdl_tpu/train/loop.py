@@ -63,6 +63,11 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
                   frames: Optional[int] = None) -> Harness:
     rng = setup_seed(cfg.random_seed)
     mesh = make_mesh(cfg.dp, cfg.mp)
+    dp = mesh.shape["data"]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide the data-parallel "
+            f"mesh size {dp} (set --dp or adjust --batch_size)")
     optimizer = make_optimizer(cfg, steps_per_epoch)
     state = create_train_state(model, cfg, rng, optimizer, frames=frames)
 
@@ -154,14 +159,31 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
     return means
 
 
+def _pad_batch(batch: dict, target: int):
+    """Edge-pad a ragged final batch to `target` rows (keeps jit shapes
+    static and the 'data' sharding divisible); returns (batch, n_valid)."""
+    n = len(batch["label"])
+    if n == target:
+        return batch, n
+    pad = target - n
+    padded = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+              for k, v in batch.items()}
+    return padded, n
+
+
 def evaluate(h: Harness, loader: Loader) -> tuple:
-    """(acc, acc_a, acc_v) with the reference's per-class accounting."""
+    """(acc, acc_a, acc_v) with the reference's per-class accounting.
+
+    Ragged final batches (eval_drop_last=False) are edge-padded to the full
+    batch size and the padding excluded from the counts — no recompiles, no
+    sharding-divisibility failures, untruncated accuracy."""
     counters = PerClassAccuracy(h.cfg.n_classes)
     for batch in loader:
+        batch, n = _pad_batch(batch, h.cfg.batch_size)
         out = jax.device_get(
             h.eval_step(h.state, _put_batch(batch, h.batch_sh)))
-        counters.update(out["pred"], out["pred_a"], out["pred_v"],
-                        out["label"])
+        counters.update(out["pred"][:n], out["pred_a"][:n],
+                        out["pred_v"][:n], out["label"][:n])
     return counters.results()
 
 

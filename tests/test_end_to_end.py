@@ -137,3 +137,40 @@ def test_visual_time_pooling_semantics():
     pooled = np.asarray(_pool_visual(folded, b))
     ref = per_frame.mean(axis=(1, 2, 3))
     np.testing.assert_allclose(pooled, ref, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_eval_without_drop_last_pads_ragged_batch(tmp_path, monkeypatch):
+    """--eval_drop_last 0 evaluates the FULL test set (the reference's
+    drop_last=True truncates it, SURVEY §5.5) even when the final batch is
+    ragged and wouldn't divide the 8-device mesh."""
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, epochs=1, eval_drop_last=False)
+    model = AVClassifierDGL(config=cfg)
+    train_set = SyntheticDataset(cfg, size=16, seed=0)
+    test_set = SyntheticDataset(cfg, size=11, seed=100)  # 8 + ragged 3
+    run_training(cfg, model, train_set, test_set, dgl=True)
+
+    from gdl_tpu.train.loop import Loader, build_harness, evaluate
+
+    h = build_harness(cfg, model, steps_per_epoch=2, dgl=True)
+    loader = Loader(test_set, cfg.batch_size, shuffle=False, drop_last=False,
+                    num_workers=2)
+    from gdl_tpu.utils.metrics import PerClassAccuracy
+    # the accounting must cover all 11 samples
+    counters = PerClassAccuracy(cfg.n_classes)
+    total = 0
+    for batch in loader:
+        total += len(batch["label"])
+    assert total == 11
+    acc, _, _ = evaluate(h, loader)
+    assert 0.0 <= acc <= 1.0
+
+
+def test_batch_size_must_divide_mesh(tmp_path):
+    from gdl_tpu.train.loop import build_harness
+
+    cfg = tiny_cfg(tmp_path, batch_size=9)  # 9 % 8 != 0
+    model = AVClassifierDGL(config=cfg)
+    with pytest.raises(ValueError, match="must divide"):
+        build_harness(cfg, model, steps_per_epoch=2, dgl=True)
