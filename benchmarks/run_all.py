@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark sweep on the local accelerator; writes benchmarks/RESULTS.md.
+
+Each config is a full jitted train step (on-device preprocessing included
+where noted). One accelerator process at a time — the harness runs configs
+sequentially in this process.
+
+    python benchmarks/run_all.py [--iters 20] [--configs resnet_bs64 ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.data.preprocess import make_eval_preprocess, make_train_preprocess
+    from gdl_tpu.data.synthetic import synthetic_batch
+    from gdl_tpu.models.classifier import AVClassifierDGL
+    from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 fps=1, batch_size=batch_size, compute_dtype="bfloat16",
+                 log_grad_csv=False)
+    model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 104)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, opt)
+    raw = {k: jnp.asarray(v)
+           for k, v in synthetic_batch(cfg, batch_size).items()}
+    if preprocess_on:
+        pre = make_train_preprocess(cfg)
+        batch = raw
+    else:
+        pre = None
+        batch = make_eval_preprocess(cfg)(raw)
+    step = jax.jit(make_dgl_train_step(model, cfg, opt, preprocess=pre,
+                                       base_rng=rng), donate_argnums=(0,))
+    for _ in range(3):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt, dt / iters * 1e3
+
+
+def bench_swin(batch_size: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.classifier import AVClassifierSwin
+    from gdl_tpu.train.joint import make_joint_train_step
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
+                 alpha=1.0, batch_size=batch_size,
+                 compute_dtype="bfloat16", modulation="Normal",
+                 log_grad_csv=False, fps=1)
+    model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 100)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               spec_shape=(224, 224), frames=1)
+    r = jax.random.PRNGKey(1)
+    batch = {"audio": jax.random.normal(r, (batch_size, 224, 224, 1)),
+             "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
+             "label": jnp.zeros((batch_size,), jnp.int32)}
+    step = jax.jit(make_joint_train_step(model, cfg, opt, 100),
+                   donate_argnums=(0,))
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt, dt / iters * 1e3
+
+
+CONFIGS = {
+    "resnet_bs64": lambda it: bench_resnet(64, it),
+    "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
+    "resnet_bs256": lambda it: bench_resnet(256, max(it // 2, 5)),
+    "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    args = parser.parse_args()
+
+    import jax
+
+    results = {}
+    for name in args.configs:
+        clips, ms = CONFIGS[name](args.iters)
+        results[name] = {"clips_per_sec": round(clips, 1),
+                         "ms_per_step": round(ms, 2)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "RESULTS.md")
+    with open(path, "a") as f:
+        f.write(f"\n## run on {jax.devices()[0].device_kind} "
+                f"({time.strftime('%Y-%m-%d %H:%M')})\n\n")
+        f.write("| config | clips/s | ms/step |\n|---|---|---|\n")
+        for name, r in results.items():
+            f.write(f"| {name} | {r['clips_per_sec']} | "
+                    f"{r['ms_per_step']} |\n")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
