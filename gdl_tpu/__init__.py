@@ -17,4 +17,14 @@ single `jax.value_and_grad` yields both disentangled gradient streams.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GDL_PLATFORM"):
+    # authoritative backend selection: some site environments pin
+    # JAX_PLATFORMS via sitecustomize, which silently overrides the env
+    # var; jax.config wins as long as it runs before backend init
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GDL_PLATFORM"])
+
 from gdl_tpu.config import Config, N_CLASSES  # noqa: F401

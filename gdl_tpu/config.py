@@ -220,6 +220,10 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--save_every", default=d.save_every, type=int)
     parser.add_argument("--num_workers", default=d.num_workers, type=int)
     parser.add_argument("--profile_dir", default=None, type=str)
+    parser.add_argument("--encoder_width", default=d.encoder_width, type=int)
+    parser.add_argument("--encoder_stages", default=None,
+                        type=lambda s: [int(x) for x in s.split(",")],
+                        help="blocks per stage, e.g. 1,1,1,1")
 
 
 def from_args(args: argparse.Namespace) -> Config:
