@@ -104,6 +104,21 @@ def _put_batch(batch: dict, sharding) -> dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def _device_prefetch(iterator, sharding, depth: int = 2):
+    """Keep `depth` batches in flight on the device while the current step
+    runs — overlaps host→device transfer with compute (device_put is
+    async; holding references keeps the copies in flight)."""
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(_put_batch(batch, sharding))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def train_one_epoch(h: Harness, loader: Loader, epoch: int,
                     grad_csv: Optional[CSVLogger] = None,
                     log_every: int = 100) -> dict:
@@ -133,10 +148,9 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
         pending.clear()
 
     profile_dir = cfg.profile_dir if epoch == 0 else None
-    for step, batch in enumerate(loader):
+    for step, batch in enumerate(_device_prefetch(loader, h.batch_sh)):
         with step_trace(profile_dir, step):
-            h.state, metrics = h.train_step(
-                h.state, _put_batch(batch, h.batch_sh))
+            h.state, metrics = h.train_step(h.state, batch)
         pending.append(metrics)
         if len(pending) >= 512:
             drain()
