@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""OGM-GE gradient modulation vs plain joint training on imbalanced data.
+
+Same synthetic imbalance as dgl_vs_joint_demo.py (strong audio, weak noisy
+visual). OGM-GE (main.py:286-332 spec — live here) scales down the
+dominant modality's conv-kernel gradients by the 1 - tanh(alpha·ratio)
+coefficient, giving the weak encoder room to optimize.
+
+    python examples/ogm_ge_demo.py [--steps 120] [--alpha 0.8]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from gdl_tpu.config import Config
+from gdl_tpu.data.preprocess import make_train_preprocess
+from gdl_tpu.models.classifier import AVClassifier
+from gdl_tpu.train.dgl import create_train_state
+from gdl_tpu.train.joint import make_joint_train_step
+from gdl_tpu.train.optim import make_optimizer
+
+from examples.dgl_vs_joint_demo import IMG, make_batch
+
+
+def run(modulation: str, steps: int, alpha: float, seed: int = 0):
+    cfg = Config(dataset="CREMAD", fusion_method="concat", alpha=alpha,
+                 modulation=modulation, learning_rate=0.02,
+                 lr_decay_step=[10 ** 6], encoder_width=16,
+                 encoder_stages=[1, 1, 1, 1], fps=1, log_grad_csv=False,
+                 modulation_starts=0, modulation_ends=10 ** 6,
+                 random_seed=seed)
+    model = AVClassifier(config=cfg)
+    opt = make_optimizer(cfg, steps_per_epoch=10 ** 6)
+    rng = jax.random.PRNGKey(seed)
+    state = create_train_state(model, cfg, rng, opt, image_size=IMG)
+    pre = make_train_preprocess(cfg, image_size=IMG)
+    step = jax.jit(make_joint_train_step(model, cfg, opt, 10 ** 6,
+                                         preprocess=pre, base_rng=rng))
+
+    key = jax.random.PRNGKey(100 + seed)
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        state, _ = step(state, make_batch(k))
+
+    # unimodal probes: zero the other modality through the shared head
+    correct = {"fused": 0, "audio": 0, "visual": 0}
+    total = 0
+    ekey = jax.random.PRNGKey(999)
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    for _ in range(8):
+        ekey, k = jax.random.split(ekey)
+        batch = make_batch(k)
+        proc = pre(batch, jax.random.PRNGKey(0))
+        o = model.apply(vars_, proc["audio"], proc["visual"], train=False)
+        for name, logits in [("fused", o[2]), ("audio", o[9]),
+                             ("visual", o[10])]:
+            correct[name] += int(jnp.sum(jnp.argmax(logits, -1)
+                                         == batch["label"]))
+        total += batch["label"].shape[0]
+    return {k: v / total for k, v in correct.items()}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=120)
+    parser.add_argument("--alpha", type=float, default=0.8)
+    args = parser.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    for modulation in ("Normal", "OGM_GE"):
+        r = run(modulation, args.steps, args.alpha)
+        print(f"{modulation:>7}: fused {r['fused']:.3f}  "
+              f"audio {r['audio']:.3f}  visual {r['visual']:.3f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,41 @@ def load_train_state(path: str, state: TrainState) -> Tuple[TrainState, int,
         payload = serialization.msgpack_restore(f.read())
     restored = serialization.from_state_dict(state, payload["state"])
     return restored, int(payload["epoch"]), payload.get("extra", {})
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend — async, sharding-aware checkpointing for large-scale runs
+# (multi-host safe; each host writes its shards). The msgpack paths above
+# stay the default for the single-host reference-parity flows.
+# ---------------------------------------------------------------------------
+
+
+class OrbaxCheckpointManager:
+    """Thin orbax CheckpointManager wrapper over TrainState + epoch."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.manager = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, epoch: int, state: TrainState,
+             wait: bool = False) -> None:
+        self.manager.save(epoch, args=self._ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def restore(self, state: TrainState,
+                epoch: Optional[int] = None) -> Tuple[TrainState, int]:
+        step = epoch if epoch is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError("no orbax checkpoint found")
+        restored = self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(state))
+        return restored, int(step)
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

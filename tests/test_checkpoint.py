@@ -93,3 +93,22 @@ def test_full_train_state_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(state.opt_state),
                     jax.tree.leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_manager_roundtrip(tmp_path):
+    """Async orbax backend: save/restore the full TrainState."""
+    from gdl_tpu.utils.checkpoint import OrbaxCheckpointManager
+
+    cfg, model, optimizer, state = make_state(tmp_path)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    mgr = OrbaxCheckpointManager(str(tmp_path / "orbax"), max_to_keep=2)
+    mgr.save(epoch=5, state=state, wait=True)
+
+    _, _, _, fresh = make_state(tmp_path)
+    restored, epoch = mgr.restore(fresh)
+    assert epoch == 5
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
