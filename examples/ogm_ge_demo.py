@@ -7,6 +7,16 @@ dominant modality's conv-kernel gradients by the 1 - tanh(alpha·ratio)
 coefficient, giving the weak encoder room to optimize.
 
     python examples/ogm_ge_demo.py [--steps 120] [--alpha 0.8]
+
+Recorded run (TPU v5e, --steps 120, alpha 0.8, 2026-08-16):
+     Normal: fused 1.000  audio 1.000  visual 0.680
+     OGM_GE: fused 1.000  audio 1.000  visual 0.555
+Observational note: on THIS synthetic task OGM-GE's tanh coefficient
+(alpha=0.8) suppresses the dominant audio gradients without lifting the
+weak visual probe — the modulation is a dataset-sensitive heuristic (its
+paper tunes alpha per dataset), unlike DGL's structural disentanglement
+(see dgl_vs_joint_demo.py, where the weak stream reaches its Bayes
+ceiling). Both topologies are live and trainable end-to-end.
 """
 
 import argparse

@@ -192,12 +192,27 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
     batch size and the padding excluded from the counts — no recompiles, no
     sharding-divisibility failures, untruncated accuracy."""
     counters = PerClassAccuracy(h.cfg.n_classes)
-    for batch in loader:
-        batch, n = _pad_batch(batch, h.cfg.batch_size)
-        out = jax.device_get(
-            h.eval_step(h.state, _put_batch(batch, h.batch_sh)))
+
+    def padded():
+        for batch in loader:
+            batch, n = _pad_batch(batch, h.cfg.batch_size)
+            yield _put_batch(batch, h.batch_sh), n
+
+    import collections
+
+    inflight = collections.deque()
+    def consume():
+        batch_dev, n = inflight.popleft()
+        out = jax.device_get(h.eval_step(h.state, batch_dev))
         counters.update(out["pred"][:n], out["pred_a"][:n],
                         out["pred_v"][:n], out["label"][:n])
+
+    for item in padded():
+        inflight.append(item)
+        if len(inflight) >= 2:
+            consume()
+    while inflight:
+        consume()
     return counters.results()
 
 
