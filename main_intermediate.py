@@ -48,12 +48,12 @@ def get_arguments():
     return parser.parse_args()
 
 
-def build_model(name: str, n_classes: int):
+def build_model(name: str, n_classes: int, width: int = 64):
     if name == "mmtm":
-        return MMTMNet(num_classes=n_classes), "triple"
+        return MMTMNet(num_classes=n_classes, width=width), "triple"
     if name == "sefusion":
-        return SEFusionNet(num_classes=n_classes), "single"
-    return MMFormerN(num_classes=n_classes), "seven"
+        return SEFusionNet(num_classes=n_classes, width=width), "single"
+    return MMFormerN(num_classes=n_classes, width=width), "seven"
 
 
 def make_sefusion_step(model, cfg, optimizer, base_rng):
@@ -90,7 +90,8 @@ def main():
     print(cfg, "model:", args.model)
 
     rng = setup_seed(cfg.random_seed)
-    model, kind = build_model(args.model, cfg.n_classes)
+    model, kind = build_model(args.model, cfg.n_classes,
+                              cfg.encoder_width)
     train_set = make_dataset(cfg, "train")
     test_set = make_dataset(cfg, "test")
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,

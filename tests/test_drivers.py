@@ -11,7 +11,8 @@ from gdl_tpu.config import Config, add_arguments, from_args
 import argparse
 
 
-@pytest.mark.parametrize("driver", ["main_dgl.py", "main.py", "valid.py"])
+@pytest.mark.parametrize("driver", ["main_dgl.py", "main.py", "valid.py",
+                                    "main_intermediate.py"])
 def test_driver_help_exits_clean(driver):
     out = subprocess.run([sys.executable, driver, "--help"],
                          capture_output=True, text=True, timeout=120,
