@@ -19,7 +19,6 @@ import argparse
 import os
 
 import jax
-import numpy as np
 
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.data.datasets import make_dataset
@@ -163,12 +162,15 @@ def main():
                      for k, v in batch.items()}
             state, metrics = train_step(state, batch)
         counters = PerClassAccuracy(cfg.n_classes)
+        from gdl_tpu.train.loop import _pad_batch
+
         for batch in test_loader:
+            batch, n = _pad_batch(batch, cfg.batch_size)
             batch = {k: jax.device_put(v, batch_sh)
                      for k, v in batch.items()}
             out = jax.device_get(eval_step(state, batch))
-            counters.update(out["pred"], out["pred_a"], out["pred_v"],
-                            out["label"])
+            counters.update(out["pred"][:n], out["pred_a"][:n],
+                            out["pred_v"][:n], out["label"][:n])
         acc, acc_a, acc_v = counters.results()
         acc_csv.write_row([acc, acc_a, acc_v])
         acc_csv.flush()
