@@ -16,6 +16,7 @@ from gdl_tpu.models.classifier import (  # noqa: F401
     AVClassifierDGL,
     AVClassifier,
     AVClassifierSwin,
+    AVClassifierSwinDGL,
 )
 from gdl_tpu.models.swin import SwinTransformer  # noqa: F401
 from gdl_tpu.models.se_resnet import SELayer, SEStem, SETrunk  # noqa: F401

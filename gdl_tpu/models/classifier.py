@@ -266,3 +266,47 @@ class AVClassifierSwin(nn.Module):
         _, _, out_v = self.fusion_module(jnp.zeros_like(a), v)
         return (a, v, out, a_feature, v_feature,
                 a_mul, a_std, v_mul, v_std, out_a, out_v)
+
+
+class AVClassifierSwinDGL(nn.Module):
+    """Swin-backbone DGL classifier — dual Swin-B encoders + a DGL fusion
+    head, exposing the same encode / unimodal_logits / fused_logits
+    protocol as AVClassifierDGL so the DGL train step and mesh harness work
+    unchanged (the BASELINE "VGGSound full-scale DGL with Swin encoders"
+    configuration; the reference's main_dgl.py:239-240 stubs the swin
+    branch out with a bare EOFError)."""
+
+    config: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from gdl_tpu.models.swin import SwinTransformer
+
+        cfg = self.config
+        kw = dict(img_size=cfg.swin_img_size, patch_size=cfg.swin_patch,
+                  embed_dim=cfg.swin_embed_dim,
+                  depths=tuple(cfg.swin_depths),
+                  num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
+                  use_pallas_attn=cfg.use_pallas_attn, dtype=self.dtype)
+        self.audio_net = SwinTransformer(modality="audio", **kw)
+        self.visual_net = SwinTransformer(modality="visual", **kw)
+        feat_dim = cfg.swin_embed_dim * 2 ** (len(cfg.swin_depths) - 1)
+        self.fusion_module = make_fusion(
+            cfg.fusion_method, cfg.n_classes, dgl=True, input_dim=feat_dim,
+            dtype=self.dtype)
+
+    def encode(self, audio, visual, train: bool = False):
+        a_map = self.audio_net(audio, train=train)
+        v_map = self.visual_net(visual, train=train)
+        return _pool_audio(a_map), _pool_visual(v_map, audio.shape[0])
+
+    def unimodal_logits(self, a, v):
+        return self.fusion_module.unimodal(a, v)
+
+    def fused_logits(self, a, v):
+        return self.fusion_module.fuse(a, v)
+
+    def __call__(self, audio, visual, train: bool = False):
+        a, v = self.encode(audio, visual, train=train)
+        a_out, v_out, out = self.fusion_module(a, v)
+        return out, a_out, v_out

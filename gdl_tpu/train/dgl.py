@@ -71,17 +71,23 @@ def _encoder_grad_probe(grads, prefix: str) -> jnp.ndarray:
 
 
 def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
-                cfg: Config, train: bool = True):
+                cfg: Config, train: bool = True,
+                rng: Optional[jax.Array] = None):
     """Pure DGL loss. batch: audio [B,F,T,1], visual [B,T,H,W,3],
-    label [B] int32."""
+    label [B] int32. `rng` feeds stochastic model pieces at train time
+    (Swin droppath / dropout)."""
     variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {}
+    if train and rng is not None:
+        k_dp, k_do = jax.random.split(rng)
+        rngs = {"droppath": k_dp, "dropout": k_do}
     if cfg.modality != "full":
         # unimodal runs have a plain linear classifier; the three outputs
         # coincide (basic_model.py:88-122) and only one CE loss is live.
         if train:
             (out, _, _), mutated = model.apply(
                 variables, batch["audio"], batch["visual"], train=True,
-                mutable=["batch_stats"])
+                rngs=rngs, mutable=["batch_stats"])
             new_stats = mutated["batch_stats"]
         else:
             out, _, _ = model.apply(
@@ -95,7 +101,7 @@ def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
     if train:
         (a, v), mutated = model.apply(
             variables, batch["audio"], batch["visual"], train=True,
-            method="encode", mutable=["batch_stats"])
+            rngs=rngs, method="encode", mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
         a, v = model.apply(
@@ -137,16 +143,17 @@ def make_dgl_train_step(model, cfg: Config,
     per-encoder grad-magnitude sums (main_dgl.py:132-143; the clip is a
     positive scalar, so probe_clipped = clip_coef * probe_raw) and mean
     |unimodal logits| (main_dgl.py:146)."""
-    if preprocess is not None and base_rng is None:
+    if base_rng is None:
         base_rng = jax.random.PRNGKey(cfg.random_seed)
 
     def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_pre, k_model = jax.random.split(rng)
         if preprocess is not None:
-            rng = jax.random.fold_in(base_rng, state.step)
-            batch = preprocess(batch, rng)
+            batch = preprocess(batch, k_pre)
         grad_fn = jax.value_and_grad(
             lambda p: dgl_loss_fn(model, p, state.batch_stats, batch, cfg,
-                                  train=True),
+                                  train=True, rng=k_model),
             has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(state.params)
 

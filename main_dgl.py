@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.data.datasets import make_dataset
-from gdl_tpu.models.classifier import AVClassifierDGL
+from gdl_tpu.models.classifier import AVClassifierDGL, AVClassifierSwinDGL
 from gdl_tpu.train.loop import run_eval, run_training
 
 
@@ -36,10 +36,14 @@ def main():
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
 
-    if cfg.backbone != "resnet":
-        raise EOFError  # main_dgl.py:239-240 accepts only resnet here
-
-    model = AVClassifierDGL(config=cfg, dtype=dtype)
+    if cfg.backbone == "swin":
+        if cfg.strict_compat:
+            raise EOFError  # the reference's stub (main_dgl.py:239-240)
+        model = AVClassifierSwinDGL(config=cfg, dtype=dtype)
+    elif cfg.backbone == "resnet":
+        model = AVClassifierDGL(config=cfg, dtype=dtype)
+    else:
+        raise EOFError  # main_dgl.py:239-240
 
     if cfg.train:
         train_set = make_dataset(cfg, "train")
