@@ -46,6 +46,12 @@ def listdir_nohidden(path: str) -> List[str]:
 
 
 def _decode_frame(path: str, size: int = RAW_IMAGE_SIZE) -> np.ndarray:
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from gdl_tpu.data import native
+
+        decoded = native.decode_jpeg(path, size)  # opt-in; None otherwise
+        if decoded is not None:
+            return decoded
     from PIL import Image
 
     with Image.open(path) as img:

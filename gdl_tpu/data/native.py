@@ -26,9 +26,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "gdl_host.cpp")
 _SO = os.path.join(_REPO_ROOT, "native", "libgdlhost.so")
+_IMG_SRC = os.path.join(_REPO_ROOT, "native", "gdl_image.cpp")
+_IMG_SO = os.path.join(_REPO_ROOT, "native", "libgdlimage.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_img_lib = None
+_img_tried = False
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
@@ -148,4 +152,51 @@ def wav_to_fixed(path: str, sr: int, target_len: int, tile: int,
                               n_out, tile, start, target_len, out)
     if rc != 0:
         raise ValueError(f"{path}: native pipeline failed ({rc})")
+    return out
+
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def get_image_lib() -> Optional[ctypes.CDLL]:
+    """libjpeg-backed JPEG decode+resize. OPT-IN (GDL_NATIVE_JPEG=1): its
+    resampling filter differs per-pixel from PIL's antialiased bilinear —
+    an augmentation-level delta, kept off the default path."""
+    global _img_lib, _img_tried
+    if _img_lib is not None or _img_tried:
+        return _img_lib
+    with _lock:
+        if _img_lib is not None or _img_tried:
+            return _img_lib
+        _img_tried = True
+        if not os.environ.get("GDL_NATIVE_JPEG"):
+            return None
+        if not os.path.exists(_IMG_SO):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                     "-std=c++17", "-o", _IMG_SO, _IMG_SRC, "-ljpeg"],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_IMG_SO)
+        except OSError:
+            return None
+        lib.gdl_jpeg_decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, _u8p]
+        _img_lib = lib
+        return _img_lib
+
+
+def decode_jpeg(path: str, size: int) -> Optional[np.ndarray]:
+    """[size, size, 3] uint8, or None when the native path is unavailable
+    (caller falls back to PIL)."""
+    lib = get_image_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.gdl_jpeg_decode_resize(path.encode(), size, out)
+    if rc != 0:
+        raise ValueError(f"{path}: native JPEG decode failed ({rc})")
     return out

@@ -84,3 +84,27 @@ def test_native_fused_random_start_crop(tmp_path):
     tiled = np.tile(ref_wave, 8)
     ref = np.clip(tiled[start:start + target], -1, 1)
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_native_jpeg_decode_close_to_pil(tmp_path, monkeypatch):
+    monkeypatch.setenv("GDL_NATIVE_JPEG", "1")
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    # smooth image (JPEG-friendly) so decoder differences stay small
+    base = rng.standard_normal((8, 8, 3))
+    img = np.kron(base, np.ones((40, 40, 1)))  # 320x320 blocks
+    img = ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, quality=95)
+
+    ours = native.decode_jpeg(str(p), 256)
+    if ours is None:
+        pytest.skip("libjpeg unavailable")
+    assert ours.shape == (256, 256, 3) and ours.dtype == np.uint8
+
+    with Image.open(p) as im:
+        ref = np.asarray(im.convert("RGB").resize((256, 256),
+                                                  Image.BILINEAR), np.uint8)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.mean() < 4.0, diff.mean()  # filter-level difference only
