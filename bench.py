@@ -28,7 +28,7 @@ WARMUP = 3
 ITERS = 20
 
 
-def main():
+def main(_retry: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -77,4 +77,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:  # transient tunnel contention — retry once
+        if "initialize backend" in str(e):
+            import time as _t
+
+            _t.sleep(30)
+            main()
+        else:
+            raise
