@@ -227,6 +227,8 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     pe: bool = False
     use_pallas_attn: bool = False
+    use_checkpoint: bool = False  # rematerialize blocks (the reference
+    # ctor's use_checkpoint flag) — trades recompute for activation memory
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -241,9 +243,11 @@ class SwinTransformer(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         block_idx = 0
         dim = self.embed_dim
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) \
+            if self.use_checkpoint else SwinBlock
         for stage, depth in enumerate(self.depths):
             for i in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, resolution=(h, w),
                     num_heads=self.num_heads[stage], window=self.window,
                     shift=0 if i % 2 == 0 else self.window // 2,
