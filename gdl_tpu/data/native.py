@@ -163,14 +163,14 @@ def get_image_lib() -> Optional[ctypes.CDLL]:
     resampling filter differs per-pixel from PIL's antialiased bilinear —
     an augmentation-level delta, kept off the default path."""
     global _img_lib, _img_tried
+    if not os.environ.get("GDL_NATIVE_JPEG"):
+        return None  # opt-in is dynamic — don't cache the disabled case
     if _img_lib is not None or _img_tried:
         return _img_lib
     with _lock:
         if _img_lib is not None or _img_tried:
             return _img_lib
         _img_tried = True
-        if not os.environ.get("GDL_NATIVE_JPEG"):
-            return None
         if not os.path.exists(_IMG_SO):
             try:
                 subprocess.run(
