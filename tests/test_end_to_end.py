@@ -174,3 +174,33 @@ def test_batch_size_must_divide_mesh(tmp_path):
     model = AVClassifierDGL(config=cfg)
     with pytest.raises(ValueError, match="must divide"):
         build_harness(cfg, model, steps_per_epoch=2, dgl=True)
+
+
+@pytest.mark.slow
+def test_profile_dir_writes_trace(tmp_path, monkeypatch):
+    """--profile_dir captures a jax.profiler trace of early steps
+    (SURVEY §5.1 — the reference has no profiling at all)."""
+    monkeypatch.chdir(tmp_path)
+    prof = tmp_path / "prof"
+    cfg = tiny_cfg(tmp_path, epochs=1, profile_dir=str(prof))
+    model = AVClassifierDGL(config=cfg)
+    # 13 batches so the trace window (steps 10-12) is exercised
+    train_set = SyntheticDataset(cfg, size=13 * cfg.batch_size, seed=0)
+    test_set = SyntheticDataset(cfg, size=8, seed=100)
+    run_training(cfg, model, train_set, test_set, dgl=True)
+    traces = glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, "no profiler trace written"
+
+
+@pytest.mark.slow
+def test_ave_config_trains(tmp_path, monkeypatch):
+    """AVE geometry: 22.05 kHz/512/256 STFT np.resize'd to 224² flows
+    through the whole training path (AVEDataset.py:81-88 semantics)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, dataset="AVE", epochs=1, fps=1)
+    cfg.num_frame = 1
+    model = AVClassifierDGL(config=cfg)
+    train_set = SyntheticDataset(cfg, size=16, n_frames=1, seed=0)
+    test_set = SyntheticDataset(cfg, size=8, n_frames=1, seed=100)
+    run_training(cfg, model, train_set, test_set, dgl=True)
+    assert os.path.exists(os.path.join(cfg.ckpt_path, "AVE_full.csv"))
