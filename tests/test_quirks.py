@@ -81,3 +81,16 @@ def test_loader_propagates_worker_errors():
                     num_workers=2)
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(loader)
+
+
+def test_tb_logger_writes_event_files(tmp_path):
+    """TensorBoard 'Loss'/'Evaluation' scalar groups (main_dgl.py:306-331)."""
+    from gdl_tpu.utils.logging import TBLogger
+
+    tb = TBLogger(str(tmp_path), "CREMAD", "concat", "Normal")
+    tb.log_epoch(0, {"Total Loss": 1.0}, {"Total Accuracy": 0.5})
+    tb.close()
+    import glob as g
+    events = g.glob(str(tmp_path / "CREMAD" / "concat_Normal" / "**" /
+                        "events.*"), recursive=True)
+    assert events
