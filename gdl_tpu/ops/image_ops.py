@@ -31,32 +31,6 @@ def normalize_images(x: jnp.ndarray) -> jnp.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def _lerp_axis(x: jnp.ndarray, coords: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Linear interpolation along `axis` at float `coords` (clamped) —
-    separable bilinear via two gathers + lerp instead of the dense
-    resampling matrices `scale_and_translate`/`jax.image.resize` build
-    per call (which dominate preprocessing cost; see benchmarks)."""
-    n = x.shape[axis]
-    c = jnp.clip(coords, 0.0, n - 1.0)
-    lo = jnp.floor(c).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, n - 1)
-    w = (c - lo).astype(x.dtype)
-    xlo = jnp.take(x, lo, axis=axis)
-    xhi = jnp.take(x, hi, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = -1
-    w = w.reshape(shape)
-    return xlo * (1 - w) + xhi * w
-
-
-def _out_coords(size: int, start, extent, src_len: int) -> jnp.ndarray:
-    """Half-pixel-center source coordinates for resampling the box
-    [start, start+extent) of a length-`src_len` axis to `size` samples —
-    the torch F.interpolate(align_corners=False) convention."""
-    j = jnp.arange(size, dtype=jnp.float32)
-    return start + (j + 0.5) * (extent / size) - 0.5
-
-
 def resize_images(x: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     """Bilinear resize of [..., H, W, 3] to size×size (test transform,
     dataset/CramedDataset.py:84-88); matches torch F.interpolate
