@@ -60,9 +60,13 @@ class Harness:
 
 def build_harness(cfg: Config, model, steps_per_epoch: int,
                   dgl: bool = True, raw_batches: bool = True,
-                  frames: Optional[int] = None) -> Harness:
+                  frames: Optional[int] = None,
+                  mesh: Optional[jax.sharding.Mesh] = None) -> Harness:
+    """`mesh` overrides the default flat make_mesh(dp, mp) — used for the
+    hybrid (DCN x ICI) multi-slice dryrun, where the device array layout
+    matters but the ('data', 'model') axis names are the same."""
     rng = setup_seed(cfg.random_seed)
-    mesh = make_mesh(cfg.dp, cfg.mp)
+    mesh = mesh if mesh is not None else make_mesh(cfg.dp, cfg.mp)
     dp = mesh.shape["data"]
     if cfg.batch_size % dp != 0:
         raise ValueError(
