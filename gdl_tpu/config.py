@@ -33,11 +33,18 @@ N_CLASSES = {
 #   AVE (dataset/AVEDataset.py:81-88): 22.05 kHz, 3 s, n_fft 512, hop 256 (+224² resize)
 #   kinect400 (dataset/Kinect400.py:120-127): 16 kHz, 8 s, n_fft 256, hop 128
 AUDIO_PARAMS = {
+    # crop_start_s: upper bound (seconds) of the random crop start —
+    # random.randint(0, sr*crop_start_s) in the reference loaders
+    # (dataset/KSDataset.py:143, dataset/Kinect400.py:124: 2 s bound with an
+    # 8 s crop of the >=10 s tiled waveform).
     "CREMAD": dict(sample_rate=22050, seconds=3, n_fft=512, hop=353),
-    "KineticSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128),
-    "VGGSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128),
+    "KineticSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128,
+                         crop_start_s=5),
+    "VGGSound": dict(sample_rate=16000, seconds=5, n_fft=256, hop=128,
+                     crop_start_s=5),
     "AVE": dict(sample_rate=22050, seconds=3, n_fft=512, hop=256),
-    "kinect400": dict(sample_rate=16000, seconds=8, n_fft=256, hop=128),
+    "kinect400": dict(sample_rate=16000, seconds=8, n_fft=256, hop=128,
+                      crop_start_s=2),
 }
 
 

@@ -110,7 +110,8 @@ def _audio_fixed(path: str, dataset: str,
             while length < sr * 10:
                 length *= 2
                 tiles *= 2
-            start = rng.randint(0, sr * 5) if rng is not None else 0
+            hi = sr * p["crop_start_s"]
+            start = rng.randint(0, hi) if rng is not None else 0
             return native.wav_to_fixed(path, sr, target, tile=tiles,
                                        start=start)
         except ValueError:
@@ -120,12 +121,14 @@ def _audio_fixed(path: str, dataset: str,
         # np.tile(samples, 3)[:3 s] (dataset/CramedDataset.py:61)
         wave = np.tile(wave, 3)[:target]
     else:
-        # tile to >= 10 s, random 5 s (KS/VGGSound, dataset/KSDataset.py:139-146)
-        # or 8 s (kinect400, dataset/Kinect400.py:120-127) crop
+        # tile to >= 10 s, then a random crop: 5 s with start in [0, 5 s]
+        # (KS/VGGSound, dataset/KSDataset.py:139-146) or 8 s with start in
+        # [0, 2 s] (kinect400, dataset/Kinect400.py:120-127) — the bound is
+        # per-dataset (AUDIO_PARAMS crop_start_s)
         min_len = sr * 10
         while len(wave) < min_len:
             wave = np.tile(wave, 2)
-        hi = sr * 5
+        hi = sr * p["crop_start_s"]
         start = rng.randint(0, hi) if rng is not None else 0
         wave = wave[start:start + target]
     if len(wave) < target:
@@ -145,18 +148,37 @@ class _AVListDataset:
         self.audio: List[str] = []
         self.image: List[str] = []
         self.label: List[int] = []
-        self._rng = random.Random(cfg.random_seed)
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.label)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Called by the Loader at the top of each epoch so per-sample
+        augmentation draws vary across epochs but stay deterministic."""
+        self._epoch = epoch
+
+    def _sample_rng(self, idx: int) -> random.Random:
+        """Per-(seed, epoch, sample) RNG — thread-safe under the Loader's
+        ThreadPoolExecutor (a single shared Random would interleave draws
+        nondeterministically across workers, breaking setup_seed's
+        host-pipeline determinism)."""
+        seed = (self.cfg.random_seed * 1_000_003 + self._epoch) \
+            * 1_000_003 + idx
+        return random.Random(seed)
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, int]:
         train = self.mode == "train"
-        wave = _audio_fixed(self.audio[idx], self.dataset_name,
-                            self._rng if train else None)
+        rng = self._sample_rng(idx)
+        # the reference draws its random audio-crop start at EVAL time too
+        # (dataset/KSDataset.py:143-146 runs in __getitem__ regardless of
+        # mode) — reproduced under strict_compat; default eval uses start=0
+        # for deterministic reported accuracy
+        audio_rng = rng if (train or self.cfg.strict_compat) else None
+        wave = _audio_fixed(self.audio[idx], self.dataset_name, audio_rng)
         entries = listdir_nohidden(self.image[idx])
         sel = _select_frames(entries, self.n_frames, train,
-                             self.cfg.strict_compat, self._rng)
+                             self.cfg.strict_compat, rng)
         frames = _load_frames(sel)
         return wave, frames, self.label[idx]
 

@@ -60,6 +60,8 @@ class Loader:
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         q: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=self.prefetch)
         err = []
 

@@ -11,6 +11,13 @@ periodic Hann window, center=True reflect padding, magnitude, then
 log(|S| + 1e-7). Golden-tested against torch.stft (same definition) in
 tests/test_stft.py.
 
+pad_mode note (ADVICE round 1): librosa >= 0.10 (2023) changed the stft
+pad_mode default from 'reflect' to 'constant'. The reference environment is
+Python 3.8.6 / PyTorch 1.11 / CUDA 11.1 (README.md:7-10, a 2022 stack), i.e.
+librosa <= 0.9.x, whose default is 'reflect' — matched here (also
+torch.stft's default, our golden oracle). Only the first/last ~n_fft/(2*hop)
+frames differ between the modes.
+
 Exact per-dataset parameters live in gdl_tpu.config.AUDIO_PARAMS.
 """
 

@@ -82,8 +82,13 @@ def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
         k_dp, k_do = jax.random.split(rng)
         rngs = {"droppath": k_dp, "dropout": k_do}
     if cfg.modality != "full":
-        # unimodal runs have a plain linear classifier; the three outputs
-        # coincide (basic_model.py:88-122) and only one CE loss is live.
+        # unimodal runs return the SAME logits thrice (basic_model.py:88-122)
+        # and the reference still backprops all three CE losses — nothing is
+        # erased because the plain linear classifier has no 'fusion' in its
+        # name (main_dgl.py:102-122) — so the effective objective is
+        # (2*alpha + 1) * CE. Reproduced exactly: dropping the scale would
+        # train the --modality audio/visual baselines with a ~(2a+1)x
+        # smaller effective LR than the reference (ADVICE round 1).
         if train:
             (out, _, _), mutated = model.apply(
                 variables, batch["audio"], batch["visual"], train=True,
@@ -93,8 +98,9 @@ def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
             out, _, _ = model.apply(
                 variables, batch["audio"], batch["visual"], train=False)
             new_stats = batch_stats
-        loss = cross_entropy(out, batch["label"])
-        metrics = {"loss_f": loss, "loss_a": loss, "loss_v": loss,
+        ce = cross_entropy(out, batch["label"])
+        loss = (2.0 * cfg.alpha + 1.0) * ce if train else ce
+        metrics = {"loss_f": ce, "loss_a": ce, "loss_v": ce,
                    "out": out, "out_a": out, "out_v": out}
         return loss, (new_stats, metrics)
 

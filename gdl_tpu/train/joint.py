@@ -138,6 +138,15 @@ def make_joint_train_step(model, cfg: Config,
             has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(state.params)
 
+        # clip FIRST, modulate after — the reference order (main.py:240
+        # clip_grad_norm_, then the :286-332 modulation block). The
+        # optimizer chain for this path carries no clip (build_harness
+        # passes clip_norm=None), so modulated gradients are never
+        # re-clipped.
+        gnorm = optax.global_norm(grads)
+        clip_coef = jnp.minimum(1.0, 40.0 / (gnorm + 1e-12))
+        grads = jax.tree.map(lambda g: g * clip_coef, grads)
+
         if modulate:
             epoch = state.step // steps_per_epoch
             active = jnp.logical_and(cfg.modulation_starts <= epoch,

@@ -72,7 +72,10 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
         raise ValueError(
             f"batch_size {cfg.batch_size} must divide the data-parallel "
             f"mesh size {dp} (set --dp or adjust --batch_size)")
-    optimizer = make_optimizer(cfg, steps_per_epoch)
+    # the joint path clips explicitly inside its train step (pre-modulation,
+    # the reference order) — its chain must not re-clip the modulated grads
+    optimizer = make_optimizer(cfg, steps_per_epoch,
+                               clip_norm=40.0 if dgl else None)
     state = create_train_state(model, cfg, rng, optimizer, frames=frames)
 
     train_pre = make_train_preprocess(cfg) if raw_batches else None

@@ -75,25 +75,33 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int,
-                   clip_norm: float = 40.0) -> optax.GradientTransformation:
-    """The full update chain for a reference driver run."""
+                   clip_norm=40.0) -> optax.GradientTransformation:
+    """The full update chain for a reference driver run.
+
+    clip_norm=None omits the in-chain clip — used by the joint/OGM path,
+    which clips explicitly BEFORE gradient modulation to match the
+    reference order (main.py:240 clip_grad_norm_, then the :286-332
+    modulation block); re-clipping the modulated gradients would change
+    the final update whenever the raw norm exceeds 40."""
     schedule = make_lr_schedule(cfg, steps_per_epoch)
+    clip = (optax.identity() if clip_norm is None
+            else optax.clip_by_global_norm(clip_norm))
     if cfg.optimizer == "sgd":
         return optax.chain(
-            optax.clip_by_global_norm(clip_norm),
+            clip,
             optax.add_decayed_weights(1e-4),
             optax.trace(decay=0.9, nesterov=False),
             optax.scale_by_learning_rate(schedule),
         )
     if cfg.optimizer == "AdaGrad":
         return optax.chain(
-            optax.clip_by_global_norm(clip_norm),
+            clip,
             optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10),
             optax.scale_by_learning_rate(schedule),
         )
     if cfg.optimizer == "Adam":
         return optax.chain(
-            optax.clip_by_global_norm(clip_norm),
+            clip,
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             optax.add_decayed_weights(0.01),  # torch AdamW default
             optax.scale_by_learning_rate(schedule),
