@@ -53,5 +53,6 @@ def test_vggsound_csv_shipped():
     with open(path) as f:
         items = list(csv.reader(f))
     assert len(items) > 10000
-    # reference csv schema: youtube_id, start_s, class, split
-    assert items[0][3] in ("train", "test")
+    # test-split list schema: <youtube_id>_<start>.mp4, class
+    assert items[0][0].endswith(".mp4")
+    assert len(items[0]) >= 2
