@@ -266,7 +266,12 @@ def run_training(cfg: Config, model, train_set, test_set,
 
         if acc > best_acc and epoch:  # epoch>0 guard (main_dgl.py:349)
             best_acc = float(acc)
-            path = save_legacy_checkpoint(cfg, h.state, epoch, acc)
+            if cfg.save_torch:
+                from gdl_tpu.utils.torch_interop import save_torch_checkpoint
+
+                path = save_torch_checkpoint(cfg, h.state, epoch, acc)
+            else:
+                path = save_legacy_checkpoint(cfg, h.state, epoch, acc)
             print("The best model has been saved at {}.".format(path))
             print("Loss: {:.3f}, Acc: {:.3f}".format(
                 means.get("loss_f", 0.0), acc))
@@ -296,8 +301,19 @@ def run_eval(cfg: Config, model, test_set, ckpt_path: str,
                          drop_last=cfg.eval_drop_last,
                          num_workers=cfg.num_workers, seed=cfg.random_seed)
     h = build_harness(cfg, model, max(len(test_loader), 1), dgl=dgl)
-    loaded = load_legacy_checkpoint(ckpt_path, cfg)
-    h.state = restore_params_into_state(h.state, loaded)
+    from gdl_tpu.utils.torch_interop import (
+        is_torch_checkpoint,
+        load_torch_checkpoint,
+        restore_torch_into_state,
+    )
+
+    if is_torch_checkpoint(ckpt_path):
+        # a REAL reference torch .pth (valid.py:148 strict=False semantics)
+        loaded = load_torch_checkpoint(ckpt_path, cfg)
+        h.state = restore_torch_into_state(h.state, loaded)
+    else:
+        loaded = load_legacy_checkpoint(ckpt_path, cfg)
+        h.state = restore_params_into_state(h.state, loaded)
     print("Trained model loaded!")
     acc, acc_a, acc_v = evaluate(h, test_loader)
     print("Accuracy: {}, accuracy_a: {}, accuracy_v: {}".format(
