@@ -74,8 +74,11 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
             f"mesh size {dp} (set --dp or adjust --batch_size)")
     # the joint path clips explicitly inside its train step (pre-modulation,
     # the reference order) — its chain must not re-clip the modulated grads
+    from gdl_tpu.train.optim import dead_fusion_param_mask
+
     optimizer = make_optimizer(cfg, steps_per_epoch,
-                               clip_norm=40.0 if dgl else None)
+                               clip_norm=40.0 if dgl else None,
+                               wd_mask=dead_fusion_param_mask(cfg, dgl))
     state = create_train_state(model, cfg, rng, optimizer, frames=frames)
 
     train_pre = make_train_preprocess(cfg) if raw_batches else None

@@ -74,22 +74,57 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
     return schedule
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int,
-                   clip_norm=40.0) -> optax.GradientTransformation:
+def dead_fusion_param_mask(cfg: Config, dgl: bool):
+    """Weight-decay mask for params torch's SGD would SKIP entirely.
+
+    In the reference DGL loop, fusion params whose only gradients come
+    from the erased unimodal backward end the step with grad=None —
+    ConcatFusion_DGL's dead `fc_auxi` (fusion_modules.py:49) and
+    GatedFusion_DGL's `fc_x`/`fc_y` (post-fc detach, :235-244) — and torch
+    optimizers skip grad-None params: no weight decay, no momentum; they
+    are frozen at init. With a dense zero gradient, coupled wd would decay
+    them slowly; this mask reproduces the frozen behavior exactly
+    (tests/test_trajectory_parity.py). Returns None when no param is dead.
+    """
+    dead = ()
+    if dgl and cfg.modality == "full":
+        if cfg.fusion_method == "concat":
+            dead = ("fc_auxi",)
+        elif cfg.fusion_method == "gated":
+            dead = ("fc_x", "fc_y")
+    if not dead:
+        return None
+
+    def mask(params):
+        def rule(path, leaf):
+            names = [getattr(p, "key", "") for p in path]
+            return not (any("fusion" in n for n in names)
+                        and any(d in names for d in dead))
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    return mask
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int, clip_norm=40.0,
+                   wd_mask=None) -> optax.GradientTransformation:
     """The full update chain for a reference driver run.
 
     clip_norm=None omits the in-chain clip — used by the joint/OGM path,
     which clips explicitly BEFORE gradient modulation to match the
     reference order (main.py:240 clip_grad_norm_, then the :286-332
     modulation block); re-clipping the modulated gradients would change
-    the final update whenever the raw norm exceeds 40."""
+    the final update whenever the raw norm exceeds 40.
+
+    wd_mask (see dead_fusion_param_mask) exempts structurally-dead params
+    from weight decay, matching torch's skip of grad-None params."""
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     clip = (optax.identity() if clip_norm is None
             else optax.clip_by_global_norm(clip_norm))
     if cfg.optimizer == "sgd":
         return optax.chain(
             clip,
-            optax.add_decayed_weights(1e-4),
+            optax.add_decayed_weights(1e-4, mask=wd_mask),
             optax.trace(decay=0.9, nesterov=False),
             optax.scale_by_learning_rate(schedule),
         )
@@ -103,7 +138,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int,
         return optax.chain(
             clip,
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.add_decayed_weights(0.01),  # torch AdamW default
+            optax.add_decayed_weights(0.01, mask=wd_mask),  # torch AdamW
             optax.scale_by_learning_rate(schedule),
         )
     raise ValueError("unknown optimizer {}".format(cfg.optimizer))
