@@ -103,9 +103,11 @@ class Config:
     dp: int = -1  # data-parallel mesh size; -1 = all devices
     mp: int = 1  # model-parallel mesh size (fusion/classifier dense kernels)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    sync_bn: bool = True  # global-batch BN stats (XLA collective); reference
-    # DataParallel computes per-replica stats — not reproducible under one
-    # jit program, and sync-BN is the better default at small per-chip batch.
+    sync_bn: bool = True  # global-batch BN stats (XLA collective) — the
+    # better default at small per-chip batch. --sync_bn 0 selects
+    # per-replica (DataParallel-semantics) BN via GroupedBatchNorm: each
+    # data shard normalizes with its own statistics and running stats keep
+    # replica 0's updates, matching the reference exactly.
     strict_compat: bool = False  # replicate reference quirks that affect
     # reported accuracy (first-N frame selection, drop_last test truncation)
     log_grad_csv: bool = True  # per-step encoder grad-magnitude CSV
@@ -159,6 +161,19 @@ class Config:
     @property
     def encoder_dim(self) -> int:
         return 1024 if self.backbone == "swin" else 8 * self.encoder_width
+
+    @property
+    def bn_groups(self) -> int:
+        """BN statistic groups: 1 = sync-BN (global batch); with
+        --sync_bn 0, one group per data-parallel replica (DataParallel
+        semantics, see GroupedBatchNorm)."""
+        if self.sync_bn:
+            return 1
+        if self.dp > 0:
+            return self.dp
+        import jax
+
+        return max(1, jax.device_count() // max(self.mp, 1))
 
 
 def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:

@@ -86,18 +86,23 @@ class AVClassifierDGL(nn.Module):
         cfg = self.config
         n = cfg.n_classes
         w, stages = cfg.encoder_width, cfg.encoder_stages
+        g = cfg.bn_groups
         if cfg.modality == "full":
-            self.audio_net = resnet18("audio", self.dtype, w, stages)
-            self.visual_net = resnet18("visual", self.dtype, w, stages)
+            self.audio_net = resnet18("audio", self.dtype, w, stages,
+                                      bn_groups=g)
+            self.visual_net = resnet18("visual", self.dtype, w, stages,
+                                       bn_groups=g)
             self.fusion_module = make_fusion(
                 cfg.fusion_method, n, dgl=True, input_dim=cfg.encoder_dim,
                 dtype=self.dtype)
         elif cfg.modality == "visual":
-            self.visual_net = resnet18("visual", self.dtype, w, stages)
+            self.visual_net = resnet18("visual", self.dtype, w, stages,
+                                       bn_groups=g)
             self.visual_classifier = _classifier_dense(
                 n, self.dtype, "visual_classifier")
         elif cfg.modality == "audio":
-            self.audio_net = resnet18("audio", self.dtype, w, stages)
+            self.audio_net = resnet18("audio", self.dtype, w, stages,
+                                      bn_groups=g)
             self.audio_classifier = _classifier_dense(
                 n, self.dtype, "audio_classifier")
 
@@ -166,8 +171,10 @@ class AVClassifier(nn.Module):
         cfg = self.config
         n = cfg.n_classes
         w, stages = cfg.encoder_width, cfg.encoder_stages
-        self.audio_net = resnet18("audio", self.dtype, w, stages)
-        self.visual_net = resnet18("visual", self.dtype, w, stages)
+        self.audio_net = resnet18("audio", self.dtype, w, stages,
+                                  bn_groups=cfg.bn_groups)
+        self.visual_net = resnet18("visual", self.dtype, w, stages,
+                                   bn_groups=cfg.bn_groups)
         self.fusion_module = make_fusion(
             cfg.fusion_method, n, dgl=False, input_dim=cfg.encoder_dim,
             dtype=self.dtype)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -66,10 +67,83 @@ def conv(features: int, kernel: int, stride: int = 1, dtype: Any = jnp.float32,
     )
 
 
+class GroupedBatchNorm(nn.Module):
+    """Per-replica BatchNorm — torch DataParallel semantics under ONE jit
+    program (SURVEY §7 hard part 3, cfg.sync_bn=0).
+
+    DataParallel scatters the batch into `groups` contiguous chunks and
+    each replica normalizes with ITS chunk's statistics; running stats keep
+    only replica 0's updates (the well-known DP BN quirk). Reproduced here
+    by reshaping [B, ...] -> [groups, B/groups, ...] and normalizing per
+    group — with the batch sharded contiguously over the 'data' mesh axis
+    and groups == dp, each group's reduction stays device-local (no
+    collective), exactly like DP. Running-var updates use torch's UNBIASED
+    batch variance (n/(n-1)), unlike flax's nn.BatchNorm.
+    """
+
+    groups: int
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((features,), jnp.float32))
+
+        if self.use_running_average:
+            y = (x.astype(jnp.float32) - ra_mean.value) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon)
+        else:
+            g = self.groups
+            b = x.shape[0]
+            if b % g != 0:
+                raise ValueError(
+                    f"batch {b} not divisible into {g} BN groups (per-"
+                    f"replica BN needs batch_size % dp == 0)")
+            xg = x.astype(jnp.float32).reshape((g, b // g) + x.shape[1:])
+            red = tuple(range(1, xg.ndim - 1))  # all but group & channel
+            mean_g = jnp.mean(xg, axis=red)  # [g, C]
+            var_g = jnp.var(xg, axis=red)    # biased (normalization)
+            shape = (g,) + (1,) * (xg.ndim - 2) + (features,)
+            y = (xg - mean_g.reshape(shape)) * jax.lax.rsqrt(
+                var_g.reshape(shape) + self.epsilon)
+            y = y.reshape(x.shape)
+            if not self.is_initializing():
+                n = 1
+                for ax in red:
+                    n *= xg.shape[ax]
+                unbias = n / max(n - 1, 1)
+                m = self.momentum
+                # replica 0's stats only (DataParallel keeps device 0's)
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean_g[0]
+                ra_var.value = m * ra_var.value + (1 - m) * (var_g[0]
+                                                             * unbias)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def batch_norm(train: bool, dtype: Any = jnp.float32,
-               name: str | None = None) -> nn.BatchNorm:
+               name: str | None = None, groups: int = 1):
     """BatchNorm matching torch defaults: eps 1e-5, running-stat momentum 0.1
-    (Flax momentum = 1 - 0.1 = 0.9), scale init 1, bias init 0."""
+    (Flax momentum = 1 - 0.1 = 0.9), scale init 1, bias init 0.
+
+    groups > 1 selects per-replica (DataParallel-semantics) statistics —
+    see GroupedBatchNorm; groups == 1 is global-batch sync-BN (the default
+    under the mesh)."""
+    if groups > 1:
+        return GroupedBatchNorm(groups=groups, use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, dtype=dtype,
+                                name=name)
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,

@@ -29,20 +29,22 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        g = self.bn_groups
         residual = x
         y = conv(self.filters, 3, self.stride, self.dtype, name="conv1")(x)
-        y = batch_norm(train, self.dtype, name="bn1")(y)
+        y = batch_norm(train, self.dtype, name="bn1", groups=g)(y)
         y = nn.relu(y)
         y = conv(self.filters, 3, 1, self.dtype, name="conv2")(y)
-        y = batch_norm(train, self.dtype, name="bn2")(y)
+        y = batch_norm(train, self.dtype, name="bn2", groups=g)(y)
         if self.stride != 1 or x.shape[-1] != self.filters:
             residual = conv(self.filters, 1, self.stride, self.dtype,
                             name="downsample_conv")(x)
             residual = batch_norm(train, self.dtype,
-                                  name="downsample_bn")(residual)
+                                  name="downsample_bn", groups=g)(residual)
         return nn.relu(y + residual)
 
 
@@ -57,6 +59,7 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     width: int = 64  # stem width; stages are (w, 2w, 4w, 8w)
     dtype: Any = jnp.float32
+    bn_groups: int = 1  # >1: per-replica (DataParallel-semantics) BN
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -81,7 +84,8 @@ class ResNet(nn.Module):
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             name="conv1",
         )(x)
-        x = batch_norm(train, self.dtype, name="bn1")(x)
+        x = batch_norm(train, self.dtype, name="bn1",
+                       groups=self.bn_groups)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -92,17 +96,19 @@ class ResNet(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(
                     filters=f, stride=stride, dtype=self.dtype,
+                    bn_groups=self.bn_groups,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
         return x
 
 
 def resnet18(modality: str, dtype: Any = jnp.float32, width: int = 64,
-             stage_sizes: Sequence[int] | None = None) -> ResNet:
+             stage_sizes: Sequence[int] | None = None,
+             bn_groups: int = 1) -> ResNet:
     """backbone.py:255-257."""
     return ResNet(modality=modality,
                   stage_sizes=tuple(stage_sizes or (2, 2, 2, 2)),
-                  width=width, dtype=dtype)
+                  width=width, dtype=dtype, bn_groups=bn_groups)
 
 
 def resnet50(modality: str, dtype: Any = jnp.float32, width: int = 64) -> ResNet:

@@ -14,10 +14,13 @@ program over a `jax.sharding.Mesh`:
     but the axis demonstrates and future-proofs >1-D meshes.
 
 BatchNorm note: under one jit program the batch statistics are computed over
-the GLOBAL batch (XLA emits the cross-replica mean) — i.e. sync-BN, unlike
-DataParallel's per-replica stats. This is the deliberate default
-(cfg.sync_bn; SURVEY §7 hard part 3): per-chip batches on a v5e-8 at global
-batch 64 are 8 samples, where per-replica BN is noisy.
+the GLOBAL batch (XLA emits the cross-replica mean) — i.e. sync-BN, the
+default (cfg.sync_bn; SURVEY §7 hard part 3): per-chip batches on a v5e-8 at
+global batch 64 are 8 samples, where per-replica BN is noisy. `--sync_bn 0`
+selects GroupedBatchNorm (gdl_tpu/models/layers.py): per-data-shard
+statistics with replica-0 running-stat updates — DataParallel's exact
+semantics, and collective-free because the groups align with the contiguous
+batch shards.
 
 Multi-host: the identical program runs under `jax.distributed.initialize`;
 nothing here changes (DCN between slices, ICI within).
