@@ -68,12 +68,51 @@ def main(_retry: bool = True):
     dt = time.perf_counter() - t0
 
     clips_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    out = {
         "metric": "cremad_dgl_train_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
-    }))
+        # honesty labels (VERDICT r1 item 7): the anchor is an ESTIMATE —
+        # the reference records no throughput anywhere (SURVEY §6)
+        "baseline_kind": "estimate",
+        "baseline_clips_per_sec": REFERENCE_CLIPS_PER_SEC,
+    }
+    flops = _flops_per_step(train_step, state, batch)
+    peak = _peak_flops(jax.devices()[0])
+    if flops:
+        out["model_flops_per_step"] = round(flops)
+        out["model_tflops_per_sec"] = round(flops * ITERS / dt / 1e12, 2)
+        if peak:
+            out["mfu"] = round(flops * ITERS / dt / peak, 4)
+            out["peak_flops_assumed"] = peak
+    print(json.dumps(out))
+
+
+def _flops_per_step(train_step, state, batch):
+    """XLA's own cost model for the compiled step (fwd+bwd+optimizer,
+    preprocessing included)."""
+    try:
+        ca = train_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _peak_flops(device) -> float:
+    """Per-chip peak bf16 FLOPs/s by device kind (public spec sheets)."""
+    kind = getattr(device, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    if "v4" in kind:
+        return 275e12
+    return 0.0
 
 
 if __name__ == "__main__":
