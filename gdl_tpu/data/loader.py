@@ -23,9 +23,17 @@ import numpy as np
 
 
 class Loader:
+    """batch_size is always the GLOBAL batch. Under multi-host
+    (process_count > 1) each host decodes ONLY its contiguous
+    batch_size/process_count slice of every batch — the shuffle order is
+    seed-deterministic and identical on all hosts, so the slices partition
+    each global batch exactly; the train loop assembles the global
+    jax.Array from the per-host shards (loop._put_batch)."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  drop_last: bool, num_workers: int = 8, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,7 +41,22 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch {batch_size} must divide process count "
+                    f"{process_count}")
+            if not drop_last:
+                raise ValueError(
+                    "multi-host sharded loading requires drop_last=True "
+                    "(a ragged final batch cannot partition evenly)")
+
+    @property
+    def local_batch(self) -> int:
+        return self.batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -46,8 +69,11 @@ class Loader:
         if self.shuffle:
             random.Random(self.seed + self._epoch).shuffle(idx)
         nb = len(self)
+        lo = self.process_index * self.local_batch
         for b in range(nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.process_count > 1:
+                chunk = chunk[lo:lo + self.local_batch]
             if chunk:
                 yield chunk
 

@@ -19,9 +19,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# plain numpy on purpose: module-level jnp.array would initialize the JAX
+# backend at import time, which breaks jax.distributed.initialize() for
+# any driver importing this module first (multi-host bring-up). XLA
+# constant-folds these under jit either way.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize_images(x: jnp.ndarray) -> jnp.ndarray:

@@ -101,16 +101,30 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
 
     state_sh = state_sharding(state, mesh)
     state = jax.device_put(state, state_sh)
+    # eval outputs (per-example preds/labels) are replicated so the host
+    # accounting can device_get them — required under multi-host, harmless
+    # single-process (the all-gather moves a few ints)
+    replicated = jax.sharding.NamedSharding(mesh,
+                                            jax.sharding.PartitionSpec())
     return Harness(
         cfg=cfg, model=model, mesh=mesh, state=state,
         train_step=jax.jit(train_step, donate_argnums=(0,)),
-        eval_step=jax.jit(eval_step),
+        eval_step=jax.jit(eval_step, out_shardings=replicated),
         batch_sh=batch_sharding(mesh),
         start_epoch=start_epoch,
     )
 
 
 def _put_batch(batch: dict, sharding) -> dict:
+    """Host batch -> sharded global jax.Array.
+
+    Single-process: plain async device_put. Multi-host: each process holds
+    only its batch shard (Loader process striding); assemble the global
+    array from the per-process local data — rows land on the process's own
+    addressable devices, so no cross-host data movement happens here."""
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
@@ -204,8 +218,9 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
     counters = PerClassAccuracy(h.cfg.n_classes)
 
     def padded():
+        target = loader.local_batch  # == batch_size single-process
         for batch in loader:
-            batch, n = _pad_batch(batch, h.cfg.batch_size)
+            batch, n = _pad_batch(batch, target)
             yield _put_batch(batch, h.batch_sh), n
 
     import collections
@@ -214,6 +229,11 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
     def consume():
         batch_dev, n = inflight.popleft()
         out = jax.device_get(h.eval_step(h.state, batch_dev))
+        if jax.process_count() > 1:
+            # outputs are replicated GLOBAL rows; padding is impossible
+            # (sharded loading requires drop_last) — count them all, so
+            # every host reports the identical accuracy
+            n = out["pred"].shape[0]
         counters.update(out["pred"][:n], out["pred_a"][:n],
                         out["pred_v"][:n], out["label"][:n])
 
@@ -228,27 +248,40 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
 
 def run_training(cfg: Config, model, train_set, test_set,
                  dgl: bool = True) -> float:
-    """Full --train flow (main_dgl.py:296-396). Returns best accuracy."""
+    """Full --train flow (main_dgl.py:296-396). Returns best accuracy.
+
+    Multi-host aware: each host decodes only its batch shard, and file
+    artifacts (CSVs, TensorBoard, checkpoints) are written by process 0
+    only — every host computes the identical replicated metrics."""
+    pc, pi = jax.process_count(), jax.process_index()
+    primary = pi == 0
+    if pc > 1 and not cfg.eval_drop_last:
+        raise ValueError("multi-host training requires --eval_drop_last 1 "
+                         "(sharded eval batches must partition evenly)")
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
                           drop_last=True, num_workers=cfg.num_workers,
-                          seed=cfg.random_seed)
+                          seed=cfg.random_seed,
+                          process_index=pi, process_count=pc)
     test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
                          drop_last=cfg.eval_drop_last,
-                         num_workers=cfg.num_workers, seed=cfg.random_seed)
+                         num_workers=cfg.num_workers, seed=cfg.random_seed,
+                         process_index=pi, process_count=pc)
     steps_per_epoch = max(len(train_loader), 1)
     h = build_harness(cfg, model, steps_per_epoch, dgl=dgl)
 
     os.makedirs(cfg.ckpt_path, exist_ok=True)
-    acc_csv = CSVLogger(
-        os.path.join(cfg.ckpt_path,
-                     "{}_{}.csv".format(cfg.dataset, cfg.modality)),
-        sentinel=[1000, 1000, 1000])
+    acc_csv = None
+    if primary:
+        acc_csv = CSVLogger(
+            os.path.join(cfg.ckpt_path,
+                         "{}_{}.csv".format(cfg.dataset, cfg.modality)),
+            sentinel=[1000, 1000, 1000])
     grad_csv = None
-    if dgl and cfg.log_grad_csv and cfg.modality == "full":
+    if primary and dgl and cfg.log_grad_csv and cfg.modality == "full":
         grad_csv = CSVLogger("audio_visual_grad_vanilla.csv",
                              flush_every=256)
     tb = None
-    if cfg.use_tensorboard and cfg.tensorboard_path:
+    if primary and cfg.use_tensorboard and cfg.tensorboard_path:
         tb = TBLogger(cfg.tensorboard_path, cfg.dataset, cfg.fusion_method,
                       cfg.modulation)
 
@@ -257,8 +290,9 @@ def run_training(cfg: Config, model, train_set, test_set,
         print("Epoch: {}: ".format(epoch))
         means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv)
         acc, acc_a, acc_v = evaluate(h, test_loader)
-        acc_csv.write_row([acc, acc_a, acc_v])
-        acc_csv.flush()
+        if acc_csv is not None:
+            acc_csv.write_row([acc, acc_a, acc_v])
+            acc_csv.flush()
         if tb is not None:
             tb.log_epoch(epoch,
                          {"Total Loss": means.get("loss", means.get("loss_f", 0.0)),
@@ -269,13 +303,16 @@ def run_training(cfg: Config, model, train_set, test_set,
 
         if acc > best_acc and epoch:  # epoch>0 guard (main_dgl.py:349)
             best_acc = float(acc)
-            if cfg.save_torch:
-                from gdl_tpu.utils.torch_interop import save_torch_checkpoint
+            if primary:
+                if cfg.save_torch:
+                    from gdl_tpu.utils.torch_interop import (
+                        save_torch_checkpoint,
+                    )
 
-                path = save_torch_checkpoint(cfg, h.state, epoch, acc)
-            else:
-                path = save_legacy_checkpoint(cfg, h.state, epoch, acc)
-            print("The best model has been saved at {}.".format(path))
+                    path = save_torch_checkpoint(cfg, h.state, epoch, acc)
+                else:
+                    path = save_legacy_checkpoint(cfg, h.state, epoch, acc)
+                print("The best model has been saved at {}.".format(path))
             print("Loss: {:.3f}, Acc: {:.3f}".format(
                 means.get("loss_f", 0.0), acc))
             print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
@@ -285,13 +322,14 @@ def run_training(cfg: Config, model, train_set, test_set,
                 means.get("loss_f", 0.0), acc, best_acc))
             print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
                                                                   acc_v))
-        if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+        if primary and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
             save_train_state(
                 os.path.join(cfg.ckpt_path, "resume_state.msgpack"),
                 h.state, epoch + 1)
     if grad_csv is not None:
         grad_csv.close()
-    acc_csv.close()
+    if acc_csv is not None:
+        acc_csv.close()
     if tb is not None:
         tb.close()
     return best_acc
@@ -302,7 +340,9 @@ def run_eval(cfg: Config, model, test_set, ckpt_path: str,
     """Eval mode (main_dgl.py:398-418 / valid.py): load + validate."""
     test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
                          drop_last=cfg.eval_drop_last,
-                         num_workers=cfg.num_workers, seed=cfg.random_seed)
+                         num_workers=cfg.num_workers, seed=cfg.random_seed,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
     h = build_harness(cfg, model, max(len(test_loader), 1), dgl=dgl)
     from gdl_tpu.utils.torch_interop import (
         is_torch_checkpoint,

@@ -77,6 +77,130 @@ WORKER = textwrap.dedent("""
 """)
 
 
+EPOCH_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["GDL_PLATFORM"] = "cpu"
+    sys.path.insert(0, '@REPO@')
+    import gdl_tpu
+    import jax
+    jax.distributed.initialize(coordinator_address='@ADDR@',
+                               num_processes=2,
+                               process_id=int(sys.argv[1]))
+    import numpy as np
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.data.loader import Loader
+    from gdl_tpu.data.synthetic import SyntheticDataset
+    from gdl_tpu.models.classifier import AVClassifierDGL
+    from gdl_tpu.train.loop import build_harness, evaluate, train_one_epoch
+
+    class Counting(SyntheticDataset):
+        decodes = 0
+        def __getitem__(self, idx):
+            type(self).decodes += 1
+            return super().__getitem__(idx)
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 modulation="Normal", alpha=4.0, fps=1, batch_size=4,
+                 dp=4, encoder_width=8, encoder_stages=[1, 1, 1, 1],
+                 log_grad_csv=False, num_workers=2)
+    pi, pc = jax.process_index(), jax.process_count()
+    train_set = Counting(cfg, size=8, seed=100)
+    test_set = Counting(cfg, size=4, seed=200)
+    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                          drop_last=True, num_workers=2, seed=0,
+                          process_index=pi, process_count=pc)
+    test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
+                         drop_last=True, num_workers=2, seed=0,
+                         process_index=pi, process_count=pc)
+    model = AVClassifierDGL(config=cfg)
+    h = build_harness(cfg, model, len(train_loader), dgl=True,
+                      raw_batches=True)
+    train_one_epoch(h, train_loader, 0)
+    acc, acc_a, acc_v = evaluate(h, test_loader)
+    psum = float(sum(np.abs(np.asarray(jax.device_get(x))).sum()
+                     for x in jax.tree.leaves(h.state.params)))
+    print("PROC", pi, "PSUM", f"{psum:.4f}", "ACC", f"{acc:.4f}",
+          "DECODES", Counting.decodes, flush=True)
+""")
+
+
+def _run_single_process_epoch():
+    """The identical epoch in THIS (single-process, 8-device CPU) process,
+    on a 4-device submesh — the ground truth the 2-process run must match."""
+    import jax
+    import numpy as np
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.data.loader import Loader
+    from gdl_tpu.data.synthetic import SyntheticDataset
+    from gdl_tpu.models.classifier import AVClassifierDGL
+    from gdl_tpu.train.loop import build_harness, evaluate, train_one_epoch
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 modulation="Normal", alpha=4.0, fps=1, batch_size=4,
+                 dp=4, encoder_width=8, encoder_stages=[1, 1, 1, 1],
+                 log_grad_csv=False, num_workers=2)
+    train_set = SyntheticDataset(cfg, size=8, seed=100)
+    test_set = SyntheticDataset(cfg, size=4, seed=200)
+    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                          drop_last=True, num_workers=2, seed=0)
+    test_loader = Loader(test_set, cfg.batch_size, shuffle=False,
+                         drop_last=True, num_workers=2, seed=0)
+    model = AVClassifierDGL(config=cfg)
+    h = build_harness(cfg, model, len(train_loader), dgl=True,
+                      raw_batches=True)
+    train_one_epoch(h, train_loader, 0)
+    acc, _, _ = evaluate(h, test_loader)
+    psum = float(sum(np.abs(np.asarray(jax.device_get(x))).sum()
+                     for x in jax.tree.leaves(h.state.params)))
+    return psum, acc
+
+
+@pytest.mark.slow
+def test_two_process_full_epoch_matches_single_process(tmp_path):
+    """VERDICT r1 item 8: a full train_one_epoch + evaluate across 2
+    processes — per-host sharded decoding (half the decodes each), params
+    identical across hosts AND identical to the single-process run."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "epoch_worker.py"
+    script.write_text(EPOCH_WORKER.replace("@REPO@", "/root/repo")
+                      .replace("@ADDR@", f"localhost:{port}"))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True, env=env,
+                              cwd=tmp_path)
+             for i in range(2)]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+        for line in out.splitlines():
+            if line.startswith("PROC"):
+                tok = line.split()
+                results[tok[1]] = {"psum": float(tok[3]),
+                                   "acc": float(tok[5]),
+                                   "decodes": int(tok[7])}
+    assert set(results) == {"0", "1"}, results
+    # identical end-of-epoch params and accuracy on both hosts
+    assert results["0"]["psum"] == results["1"]["psum"], results
+    assert results["0"]["acc"] == results["1"]["acc"], results
+    # each host decoded only its shard: 8 train + 4 test samples total,
+    # split across 2 hosts -> 6 decodes per host (not 12)
+    assert results["0"]["decodes"] == 6, results
+    assert results["1"]["decodes"] == 6, results
+
+    ref_psum, ref_acc = _run_single_process_epoch()
+    assert abs(results["0"]["psum"] - ref_psum) / ref_psum < 1e-4, (
+        results, ref_psum)
+    assert results["0"]["acc"] == ref_acc
+
+
 @pytest.mark.slow
 def test_two_process_global_mesh_dgl_loss(tmp_path):
     with socket.socket() as s:
