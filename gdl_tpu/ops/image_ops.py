@@ -9,10 +9,12 @@ inside the jitted step as one fused XLA program (static shapes; the dynamic
 crop geometry is expressed through `jax.image.scale_and_translate`, whose
 scale/translation operands are traced values).
 
-torchvision RandomResizedCrop defaults reproduced: area scale U(0.08, 1.0),
-log-uniform aspect ratio in (3/4, 4/3), 10 attempts then center fallback —
-here a single rejection-free draw (clamped to the image) since the
-distribution difference is immaterial for augmentation; flips are p=0.5.
+torchvision RandomResizedCrop defaults reproduced EXACTLY: area scale
+U(0.08, 1.0), log-uniform aspect ratio in (3/4, 4/3), 10 attempts with
+integer-rounded crop sizes rejected when they exceed the image, then the
+ratio-clamped center-crop fallback — vectorized (all 10 candidates drawn at
+once, first valid selected) so it stays one fused XLA program with static
+shapes; flips are p=0.5.
 """
 
 from __future__ import annotations
@@ -48,21 +50,56 @@ def resize_images(x: jnp.ndarray, size: int = 224) -> jnp.ndarray:
                             method="bilinear")
 
 
+RRC_ATTEMPTS = 10
+_MIN_RATIO, _MAX_RATIO = 3.0 / 4.0, 4.0 / 3.0
+
+
+def sample_rrc_box(key: jax.Array, h: int, w: int):
+    """torchvision RandomResizedCrop.get_params, vectorized.
+
+    Draws all 10 candidates at once: integer-rounded (ch, cw) from area
+    U(0.08, 1)*H*W and log-uniform aspect; a candidate is valid iff
+    0 < cw <= W and 0 < ch <= H; the FIRST valid one wins (argmax of the
+    mask). If none is valid the torchvision fallback applies: clamp the
+    image's aspect ratio into [3/4, 4/3] and center-crop. Returns float
+    (y0, x0, ch, cw) with integer values."""
+    k_area, k_ratio, k_xy = jax.random.split(key, 3)
+    n = RRC_ATTEMPTS
+    areas = jax.random.uniform(k_area, (n,), minval=0.08,
+                               maxval=1.0) * (h * w)
+    ratios = jnp.exp(jax.random.uniform(
+        k_ratio, (n,), minval=jnp.log(_MIN_RATIO),
+        maxval=jnp.log(_MAX_RATIO)))
+    cws = jnp.round(jnp.sqrt(areas * ratios))
+    chs = jnp.round(jnp.sqrt(areas / ratios))
+    valid = (cws > 0) & (cws <= w) & (chs > 0) & (chs <= h)
+    first = jnp.argmax(valid)  # first True (0 if none — fallback masks it)
+    any_valid = jnp.any(valid)
+
+    # fallback: ratio-clamped center crop (torchvision transforms.py)
+    in_ratio = w / h
+    fb_w = jnp.where(in_ratio < _MIN_RATIO, float(w),
+                     jnp.where(in_ratio > _MAX_RATIO,
+                               jnp.round(h * _MAX_RATIO), float(w)))
+    fb_h = jnp.where(in_ratio < _MIN_RATIO, jnp.round(w / _MIN_RATIO),
+                     jnp.where(in_ratio > _MAX_RATIO, float(h), float(h)))
+
+    cw = jnp.where(any_valid, cws[first], fb_w)
+    ch = jnp.where(any_valid, chs[first], fb_h)
+    # torch.randint(0, H - h + 1) — uniform over the inclusive range
+    u_y, u_x = jax.random.uniform(k_xy, (2,))
+    y0_rand = jnp.floor(u_y * (h - ch + 1.0))
+    x0_rand = jnp.floor(u_x * (w - cw + 1.0))
+    y0 = jnp.where(any_valid, y0_rand, jnp.floor((h - ch) / 2.0))
+    x0 = jnp.where(any_valid, x0_rand, jnp.floor((w - cw) / 2.0))
+    return y0, x0, ch, cw
+
+
 def _rrc_one(img: jnp.ndarray, key: jax.Array, size: int) -> jnp.ndarray:
     """RandomResizedCrop + HFlip for one [H, W, 3] float image."""
     h, w = img.shape[0], img.shape[1]
-    k_area, k_ratio, k_x, k_y, k_flip = jax.random.split(key, 5)
-
-    area = jax.random.uniform(k_area, (), minval=0.08, maxval=1.0) * (h * w)
-    log_ratio = jax.random.uniform(
-        k_ratio, (), minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0))
-    ratio = jnp.exp(log_ratio)
-    cw = jnp.sqrt(area * ratio)
-    ch = jnp.sqrt(area / ratio)
-    cw = jnp.clip(cw, 1.0, w)
-    ch = jnp.clip(ch, 1.0, h)
-    x0 = jax.random.uniform(k_x, ()) * (w - cw)
-    y0 = jax.random.uniform(k_y, ()) * (h - ch)
+    k_box, k_flip = jax.random.split(key)
+    y0, x0, ch, cw = sample_rrc_box(k_box, h, w)
 
     # map crop box [y0, y0+ch) x [x0, x0+cw) → [0, size)²:
     # out(u) = in(u/scale - translate/scale) under scale_and_translate's
