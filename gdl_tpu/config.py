@@ -117,6 +117,9 @@ class Config:
     save_torch: bool = False  # write best checkpoints as REAL torch .pth
     # files (the reference's artifact format, loadable by its valid.py)
     # instead of msgpack
+    pretrained_path: Optional[str] = None  # local torchvision-format
+    # backbone state dict partial-loaded into the encoders at startup
+    # (reference resnet18_se.py:228-248 ImageNet partial-load semantics)
     resume: Optional[str] = None  # resume training from a state checkpoint
     save_every: int = 0  # also save a resumable state every N epochs
     num_workers: int = 8  # host-side data pipeline threads
@@ -242,6 +245,7 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--eval_drop_last", default=d.eval_drop_last,
                         type=lambda s: s not in ("0", "false", "False"))
     parser.add_argument("--save_torch", action="store_true")
+    parser.add_argument("--pretrained_path", default=None, type=str)
     parser.add_argument("--resume", default=None, type=str)
     parser.add_argument("--save_every", default=d.save_every, type=int)
     parser.add_argument("--num_workers", default=d.num_workers, type=int)

@@ -80,6 +80,10 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
                                clip_norm=40.0 if dgl else None,
                                wd_mask=dead_fusion_param_mask(cfg, dgl))
     state = create_train_state(model, cfg, rng, optimizer, frames=frames)
+    if cfg.pretrained_path:
+        from gdl_tpu.utils.torch_interop import load_pretrained_encoders
+
+        state, _ = load_pretrained_encoders(state, cfg.pretrained_path)
 
     train_pre = make_train_preprocess(cfg) if raw_batches else None
     eval_pre = make_eval_preprocess(cfg) if raw_batches else None

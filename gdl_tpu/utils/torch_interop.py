@@ -123,14 +123,18 @@ def _strip_module_prefix(sd: dict) -> dict:
 
 
 def torch_state_dict_to_flax(sd: dict, params, batch_stats,
-                             strict: bool = False):
+                             strict: bool = False,
+                             skip_mismatch: bool = False):
     """Torch state dict -> (params, batch_stats) shaped like the given
     templates. strict=False (valid.py:148 semantics): keys missing from the
-    checkpoint keep the template's current value."""
+    checkpoint keep the template's current value. skip_mismatch=True keeps
+    the template on SHAPE mismatches too (the reference's ImageNet
+    partial-load filter, resnet18_se.py:228-248) instead of raising."""
     sd = _strip_module_prefix(sd)
     sd = {k: np.asarray(v) for k, v in sd.items()}
     used = set()
     missing: List[str] = []
+    mismatched: List[str] = []
 
     def rebuild(tree, prefix, is_stats):
         if isinstance(tree, dict) or hasattr(tree, "items"):
@@ -148,6 +152,9 @@ def torch_state_dict_to_flax(sd: dict, params, batch_stats,
             used.add(key)
             arr = sd[key]
             if arr.shape != tuple(np.shape(tree)):
+                if skip_mismatch:
+                    mismatched.append(key)
+                    return tree
                 raise ValueError(f"shape mismatch for {key}: "
                                  f"{arr.shape} vs {np.shape(tree)}")
             return np.asarray(arr, dtype=np.asarray(tree).dtype)
@@ -157,7 +164,13 @@ def torch_state_dict_to_flax(sd: dict, params, batch_stats,
             missing.append(key)
             return tree
         used.add(key)
-        return _torch_to_param_leaf(leaf, np.asarray(tree), sd[key])
+        try:
+            return _torch_to_param_leaf(leaf, np.asarray(tree), sd[key])
+        except ValueError:
+            if skip_mismatch:
+                mismatched.append(key)
+                return tree
+            raise
 
     new_params = rebuild(params, (), is_stats=False)
     new_stats = rebuild(batch_stats, (), is_stats=True)
@@ -167,7 +180,8 @@ def torch_state_dict_to_flax(sd: dict, params, batch_stats,
         raise KeyError(f"missing keys: {missing[:10]}... "
                        f"unexpected keys: {unexpected[:10]}...")
     return new_params, new_stats, {"missing": missing,
-                                   "unexpected": unexpected}
+                                   "unexpected": unexpected,
+                                   "mismatched": mismatched}
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +265,56 @@ def save_torch_checkpoint(cfg, state, epoch: int, acc: float,
                             legacy_checkpoint_name(cfg, epoch, acc))
     torch.save(saved, path)
     return path
+
+
+def load_pretrained_encoders(state, path: str,
+                             targets=("audio_net", "visual_net")):
+    """Partial-load a torchvision-format backbone state dict (a LOCAL
+    file; e.g. torchvision's resnet18 ImageNet weights saved with
+    torch.save(model.state_dict(), ...)) into each target encoder subtree.
+
+    Reference behavior being replaced: models/resnet18_se.py:228-248
+    filters the pretrained dict to keys present in the model with matching
+    shapes and load_state_dict's the rest — here per-encoder with
+    skip_mismatch (e.g. the audio stem conv1 is 1-channel vs torchvision's
+    3-channel and is skipped, exactly like the reference's filter drops
+    it). Returns (new_state, report_per_target)."""
+    import torch
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(loaded, dict) and "model" in loaded and isinstance(
+            loaded["model"], dict):
+        loaded = loaded["model"]
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in loaded.items() if hasattr(v, "shape")}
+    sd = _strip_module_prefix(sd)
+
+    params = {k: v for k, v in state.params.items()}
+    stats = {k: v for k, v in state.batch_stats.items()}
+    reports = {}
+    for t in targets:
+        if t not in params:
+            continue
+        new_p, new_s, rep = torch_state_dict_to_flax(
+            sd, params[t], stats.get(t, {}), strict=False,
+            skip_mismatch=True)
+        params[t] = new_p
+        if t in stats:
+            stats[t] = new_s
+        total = (sum(1 for _ in _flat_with_path(new_p))
+                 + sum(1 for _ in _flat_with_path(stats.get(t, {}))))
+        loaded_n = total - len(rep["missing"]) - len(rep["mismatched"])
+        print(f"pretrained[{t}]: loaded={loaded_n} "
+              f"missing={len(rep['missing'])} "
+              f"shape-skipped={len(rep['mismatched'])}")
+        reports[t] = rep
+    ptype = type(state.params)
+    stype = type(state.batch_stats)
+    return state.replace(
+        params=ptype(params) if not isinstance(state.params, dict)
+        else params,
+        batch_stats=stype(stats) if not isinstance(state.batch_stats, dict)
+        else stats), reports
 
 
 def restore_torch_into_state(state, loaded: dict, strict: bool = False):
