@@ -56,7 +56,7 @@ def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True):
     return batch_size * iters / dt, dt / iters * 1e3
 
 
-def bench_swin(batch_size: int, iters: int):
+def bench_swin(batch_size: int, iters: int, pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def bench_swin(batch_size: int, iters: int):
     cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
                  alpha=1.0, batch_size=batch_size,
                  compute_dtype="bfloat16", modulation="Normal",
-                 log_grad_csv=False, fps=1)
+                 log_grad_csv=False, fps=1, use_pallas_attn=pallas)
     model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
     opt = make_optimizer(cfg, 100)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
@@ -95,6 +95,8 @@ CONFIGS = {
     "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
     "resnet_bs256": lambda it: bench_resnet(256, max(it // 2, 5)),
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
+    "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
+                                              pallas=True),
 }
 
 

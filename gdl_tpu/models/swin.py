@@ -123,12 +123,20 @@ class WindowAttention(nn.Module):
 
         qkv = _dense(3 * self.dim, self.dtype, "qkv",
                      use_bias=self.qkv_bias)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+        if self.use_pallas:
+            # packed-head kernel fed the projection output directly —
+            # the per-head split never materializes in HBM
+            from gdl_tpu.ops.window_attention import (
+                window_attention_pallas_qkv,
+            )
 
-        out = window_attention(q, k, v, bias, mask,
-                               use_pallas=self.use_pallas)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            out = window_attention_pallas_qkv(
+                qkv.reshape(b, n, 3, self.dim), bias, mask, self.num_heads)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+            out = window_attention(q, k, v, bias, mask, use_pallas=False)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return _dense(self.dim, self.dtype, "proj")(out)
 
 

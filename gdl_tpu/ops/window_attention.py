@@ -23,6 +23,7 @@ Returns [B, H, N, D].
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -46,6 +47,70 @@ def window_attention_xla(q, k, v, bias, mask: Optional[jnp.ndarray] = None,
     attn = jax.nn.softmax(attn, axis=-1)
     return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(q.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def window_attention_xla_packed(q, k, v, bias,
+                                mask: Optional[jnp.ndarray] = None,
+                                scale: Optional[float] = None):
+    """Packed-head layout: the CLAUDE.md round-1 TODO executed.
+
+    Swin-B stage 1 has H=4 heads of d=32 — per-head matmuls contract over
+    K=32, filling only a quarter of the MXU's 128-deep systolic array (and
+    the d->128 lane padding wastes 4x more). Instead pack all heads into
+    the native 128-lane dim ([B, N, H*d]) and compute every head's scores
+    in ONE dense batched GEMM via a block-diagonal-Q trick:
+
+        q_bd[b, h*N+i, :] = q_packed[b, i, :] * blockmask[h]   (zeros
+        outside head h's d-column block), so
+        S[b, h*N+i, j] = q_bd . k_packed^T  ==  q_h[i] . k_h[j]
+
+    contracting over the FULL K=H*d=128. The attn@v GEMM runs packed too
+    ([H*N, N] x [N, H*d]) and the per-head blocks are extracted with the
+    same mask. ~4x the minimal FLOPs (the zeros are multiplied), but every
+    op is a dense 128-deep GEMM — a large net win over the padded per-head
+    form (see benchmarks/RESULTS.md).
+    """
+    b, h, n, d = q.shape
+    scale = scale if scale is not None else d ** -0.5
+    # group g heads so g*d ~= 128 (one full lane tile / MXU depth); heads
+    # beyond the group ride the batch dim — keeps the zero-FLOP factor at
+    # g (=4 for d=32) at EVERY Swin stage instead of growing with H
+    g = max(1, min(h, 128 // d))
+    while h % g:
+        g -= 1
+    hg = h // g
+    gd = g * d
+    f32 = jnp.float32
+
+    def pack(x):  # [B,H,N,D] -> [B*HG, N, g*d]
+        x = x.reshape(b, hg, g, n, d).transpose(0, 1, 3, 2, 4)
+        return x.reshape(b * hg, n, gd)
+
+    qp = pack(q * scale)
+    kp = pack(k)
+    vp = pack(v)
+
+    blockmask = (jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+                 == jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+                 ).astype(q.dtype)  # [g, g*d]: ones on head j's columns
+
+    q_bd = (qp[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        b * hg, g * n, gd)
+    s = jnp.einsum("bxc,byc->bxy", q_bd, kp,
+                   preferred_element_type=f32)  # [B*HG, g*N, N]
+    bias_p = bias.reshape(hg, g * n, n)
+    s = (s.reshape(b, hg, g * n, n) + bias_p[None].astype(s.dtype))
+    if mask is not None:
+        nw = mask.shape[0]
+        s = (s.reshape(b // nw, nw, hg, g, n, n)
+             + mask[None, :, None, None].astype(s.dtype))
+    s = jax.nn.softmax(s.reshape(b * hg, g * n, n), axis=-1)
+    out_full = jnp.einsum("bxy,byc->bxc", s.astype(q.dtype), vp,
+                          preferred_element_type=f32).astype(q.dtype)
+    out = (out_full.reshape(b * hg, g, n, gd)
+           * blockmask[None, :, None, :]).sum(axis=1)  # [B*HG, N, g*d]
+    out = out.reshape(b, hg, n, g, d).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, h, n, d)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -124,8 +189,360 @@ def window_attention_pallas(q, k, v, bias,
     return out[:, :, :n, :d]
 
 
+def _wa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                      g, d, n_valid, has_mask):
+    """One grid step: G windows of ONE head-group, packed layout.
+
+    blocks: q/k/v/o [1, G, Np, gd]; bias [1, g*Np, Np]; mask [G, Np, Np].
+    The block-diagonal q expansion ([G, g*Np, gd], zeros outside head j's
+    d-column block) lives in VMEM only — HBM sees the packed, unpadded
+    tensors. Both dots contract over the full gd(=128) MXU depth.
+    """
+    q = q_ref[0]  # [G, Np, gd]
+    G, np_, gd = q.shape
+    # blockmask[j, c] = 1 iff column c belongs to head j
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    blockmask = (col_head == row_head).astype(q.dtype)  # [g, gd]
+
+    q_bd = (q[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k_ref[0],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    s = s + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        m = mask_ref[...].astype(jnp.float32)  # [G, Np, Np]
+        s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
+            G, g * np_, np_)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_valid, s, -1e30)
+    s = jax.nn.softmax(s, axis=-1)
+    out_full = jax.lax.dot_general(
+        s.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * blockmask[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def window_attention_pallas_packed(q, k, v, bias,
+                                   mask: Optional[jnp.ndarray] = None,
+                                   scale: Optional[float] = None):
+    """Packed-head, window-blocked Pallas kernel (CLAUDE.md round-1 TODO).
+
+    Fixes both round-1 losses at once:
+      - HBM: q/k/v travel PACKED as [HG, B, Np, g*d~128] — no d->128 lane
+        padding (4x less traffic than the per-head kernel), and the
+        block-diagonal expansion that makes the dots 128-deep happens in
+        VMEM inside the kernel.
+      - grid: G windows per step (G = nW for masked layers so the shift
+        mask aligns; 32 otherwise) instead of one — per-step overhead
+        amortized ~G-fold.
+    """
+    b, h, n, d = q.shape
+    scale = scale if scale is not None else d ** -0.5
+    g = max(1, min(h, 128 // d))
+    while h % g:
+        g -= 1
+    hg = h // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+
+    if mask is not None:
+        nw = mask.shape[0]
+        if b % nw:
+            raise ValueError(f"windows {b} not a multiple of nW {nw}")
+        G = nw  # mask alignment requires the block == one mask period
+    else:
+        G = 32
+        while b % G:
+            G //= 2
+        G = max(G, 1)
+
+    def pack(x):  # [B,H,N,D] -> [HG, B, Np, gd]
+        x = x.reshape(b, hg, g, n, d).transpose(1, 0, 3, 2, 4)
+        x = x.reshape(hg, b, n, gd)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    qp = pack(q * jnp.asarray(scale, q.dtype))
+    kp = pack(k)
+    vp = pack(v)
+    bias_p = jnp.pad(bias.reshape(hg, g, n, n),
+                     ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+    bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
+    if mask is not None:
+        mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+    else:
+        mask_p = jnp.zeros((G, n_pad, n_pad), q.dtype)
+
+    grid = (hg, b // G)
+    out = pl.pallas_call(
+        functools.partial(_wa_packed_kernel, g=g, d=d, n_valid=n,
+                          has_mask=mask is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, n_pad, gd), lambda hi, i: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, n_pad, gd), lambda hi, i: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, n_pad, gd), lambda hi, i: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * n_pad, n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # masked layers have G == nW, so block i covers windows
+            # [i*nW, (i+1)*nW) whose masks are exactly mask_p[0..nW)
+            pl.BlockSpec((G, n_pad, n_pad), lambda hi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, n_pad, gd),
+                               lambda hi, i: (hi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hg, b, n_pad, gd), q.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU CI fallback
+    )(qp, kp, vp, bias_p, mask_p)
+    out = out[:, :, :n, :]  # [HG, B, N, gd]
+    out = out.reshape(hg, b, n, g, d).transpose(1, 0, 3, 2, 4)
+    return out.reshape(b, h, n, d)
+
+
+def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
+                   has_mask, scale):
+    """qkv-direct variant of _wa_packed_kernel: one block [1, G, Np, 3, gd]
+    holding q/k/v for G windows of one head-group, already packed."""
+    q = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[0, :, :, 1, :]
+    v = qkv_ref[0, :, :, 2, :]
+    G, np_, gd = q.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    blockmask = (col_head == row_head).astype(q.dtype)
+
+    q_bd = (q[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        m = mask_ref[...].astype(jnp.float32)
+        s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
+            G, g * np_, np_)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_valid, s, -1e30)
+    s = jax.nn.softmax(s, axis=-1)
+    out_full = jax.lax.dot_general(
+        s.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * blockmask[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
+                       dqkv_ref, dbias_ref, *, g, d, n_valid, has_mask,
+                       scale):
+    """Backward of _wa_qkv_kernel, flash-style: recompute the softmax in
+    VMEM, then dq/dk/dv via the same block-diagonal packing (every dot is
+    gd- or g*Np-deep). dbias accumulates across the window-block grid axis
+    (the output block is revisited on consecutive steps)."""
+    i = pl.program_id(1)
+    qs = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[0, :, :, 1, :]
+    v = qkv_ref[0, :, :, 2, :]
+    dout = dout_ref[0]  # [G, Np, gd]
+    G, np_, gd = qs.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    blockmask = (col_head == row_head).astype(qs.dtype)
+
+    # ---- recompute p (identical to the forward) ----
+    q_bd = (qs[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        m = mask_ref[...].astype(jnp.float32)
+        s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
+            G, g * np_, np_)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)  # [G, g*Np, Np] fp32
+
+    dout_bd = (dout[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    # dv[j, c@h] = sum_i p[(h,i), j] * dout_bd[(h,i), c]
+    dv = jax.lax.dot_general(
+        p.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np, gd]
+    # dp[(h,i), j] = dout_h[i] . v_h[j]
+    dp = jax.lax.dot_general(
+        dout_bd, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
+
+    # dq_scaled = blockextract(ds . k); dq = dq_scaled * scale
+    dq_full = jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * blockmask[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    # dk[j, c@h] = sum_i ds[(h,i), j] * q_bd[(h,i), c]   (q_bd == q*scale)
+    dk = jax.lax.dot_general(
+        ds.astype(q_bd.dtype), q_bd,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np, gd]
+
+    dqkv_ref[0, :, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, :, 2, :] = dv.astype(dqkv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
+
+
+def _qkv_specs(G, n_pad, g, gd, nw):
+    """Block specs for the qkv kernels. G must DIVIDE the mask period nW;
+    block i covers windows [i*G, (i+1)*G) whose masks are the (i mod
+    nW/G)-th chunk of the mask array."""
+    n_chunks = max(nw // G, 1)
+    return dict(
+        qkv=pl.BlockSpec((1, G, n_pad, 3, gd),
+                         lambda hi, i: (hi, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        bias=pl.BlockSpec((1, g * n_pad, n_pad), lambda hi, i: (hi, 0, 0),
+                          memory_space=pltpu.VMEM),
+        mask=pl.BlockSpec((G, n_pad, n_pad),
+                          lambda hi, i: (i % n_chunks, 0, 0),
+                          memory_space=pltpu.VMEM),
+        out=pl.BlockSpec((1, G, n_pad, gd), lambda hi, i: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qkv_attn_core(static, qkvp, bias_p, mask_p):
+    """out_packed [HG, B, Np, gd] from packed inputs; static is the
+    hashable config tuple (g, d, n_valid, has_mask, scale, G)."""
+    return _qkv_attn_fwd(static, qkvp, bias_p, mask_p)[0]
+
+
+def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
+    g, d, n_valid, has_mask, scale, G, nw = static
+    hg, b, n_pad, _, gd = qkvp.shape
+    specs = _qkv_specs(G, n_pad, g, gd, nw)
+    out = pl.pallas_call(
+        functools.partial(_wa_qkv_kernel, g=g, d=d, n_valid=n_valid,
+                          has_mask=has_mask, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
+        out_specs=specs["out"],
+        out_shape=jax.ShapeDtypeStruct((hg, b, n_pad, gd), qkvp.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, bias_p, mask_p)
+    return out, (qkvp, bias_p, mask_p)
+
+
+def _qkv_attn_bwd(static, res, dout):
+    g, d, n_valid, has_mask, scale, G, nw = static
+    qkvp, bias_p, mask_p = res
+    hg, b, n_pad, _, gd = qkvp.shape
+    # the backward kernel holds ~2x the forward's live VMEM (p, dp, ds,
+    # dout_bd all at once) — halve the window block to stay under the
+    # 16 MB scoped-vmem limit
+    G = math.gcd(G, 16)
+    specs = _qkv_specs(G, n_pad, g, gd, nw)
+    dqkvp, dbias_p = pl.pallas_call(
+        functools.partial(_wa_qkv_bwd_kernel, g=g, d=d, n_valid=n_valid,
+                          has_mask=has_mask, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], specs["bias"], specs["mask"], specs["out"]],
+        out_specs=[
+            specs["qkv"],
+            pl.BlockSpec((1, g * n_pad, n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct(bias_p.shape, jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, bias_p, mask_p, dout)
+    return dqkvp, dbias_p.astype(bias_p.dtype), jnp.zeros_like(mask_p)
+
+
+_qkv_attn_core.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
+                                num_heads: int,
+                                scale: Optional[float] = None):
+    """Packed-head Pallas attention fed DIRECTLY with the qkv projection
+    output — [B, N, 3, C] (the reshape of the Dense's [B, N, 3C]) — and
+    returning [B, N, C]. The head split never materializes in HBM: the
+    qkv Dense's column order [3, H, dh] already has each head-group's
+    gd(=128) lanes contiguous, so the only host-side data movement is the
+    N->Np pad (and, for hg > 1, one fused transpose to lead with the
+    head-group axis). Differentiable: the backward pass is a second Pallas
+    kernel (_wa_qkv_bwd_kernel) that recomputes the softmax in VMEM."""
+    b, n, three, c = qkv.shape
+    assert three == 3
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    h = num_heads
+    g = max(1, min(h, 128 // d))
+    while h % g:
+        g -= 1
+    hg = h // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+
+    if mask is not None:
+        nw = mask.shape[0]
+        if b % nw:
+            raise ValueError(f"windows {b} not a multiple of nW {nw}")
+        G = math.gcd(nw, 32)  # divides nW (mask chunk alignment), <= 32
+    else:
+        nw = 1
+        G = 32
+        while b % G:
+            G //= 2
+        G = max(G, 1)
+
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    # [HG, B, Np, 3, gd]: Mosaic needs the last two BLOCK dims to equal the
+    # array dims (or be tile multiples) — hg must lead. For stage 1 (hg=1,
+    # the dominant cost) this transpose is a pure reshape.
+    qkvp = qkvp.reshape(b, n_pad, 3, hg, gd).transpose(3, 0, 1, 2, 4)
+    bias_p = jnp.pad(bias.reshape(hg, g, n, n),
+                     ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+    bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
+    if mask is not None:
+        mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+    else:
+        mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
+
+    static = (g, d, n, mask is not None, scale, G, nw)
+    out = _qkv_attn_core(static, qkvp, bias_p, mask_p)
+    out = out[:, :, :n].transpose(1, 2, 0, 3)  # [B, N, HG, gd]
+    return out.reshape(b, n, c)
+
+
 def window_attention(q, k, v, bias, mask=None, scale=None,
                      use_pallas: bool = False):
     if use_pallas:
-        return window_attention_pallas(q, k, v, bias, mask, scale)
+        return window_attention_pallas_packed(q, k, v, bias, mask, scale)
     return window_attention_xla(q, k, v, bias, mask, scale)

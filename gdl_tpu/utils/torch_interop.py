@@ -267,8 +267,7 @@ def save_torch_checkpoint(cfg, state, epoch: int, acc: float,
     return path
 
 
-def load_pretrained_encoders(state, path: str,
-                             targets=("audio_net", "visual_net")):
+def load_pretrained_encoders(state, path: str, targets=None):
     """Partial-load a torchvision-format backbone state dict (a LOCAL
     file; e.g. torchvision's resnet18 ImageNet weights saved with
     torch.save(model.state_dict(), ...)) into each target encoder subtree.
@@ -291,6 +290,11 @@ def load_pretrained_encoders(state, path: str,
 
     params = {k: v for k, v in state.params.items()}
     stats = {k: v for k, v in state.batch_stats.items()}
+    if targets is None:
+        # any top-level subtree that starts with a conv stem is an encoder
+        # (audio_net/visual_net, the SE-family stem_rgb/stem_depth, ...)
+        targets = [k for k, v in params.items()
+                   if hasattr(v, "keys") and "conv1" in v]
     reports = {}
     for t in targets:
         if t not in params:

@@ -115,6 +115,12 @@ def main():
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=optimizer.init(variables["params"]))
+    if cfg.pretrained_path:
+        # the reference's resnet18_se ImageNet partial-load
+        # (models/resnet18_se.py:228-248): filter by key+shape per stem
+        from gdl_tpu.utils.torch_interop import load_pretrained_encoders
+
+        state, _ = load_pretrained_encoders(state, cfg.pretrained_path)
 
     mesh = make_mesh(cfg.dp, cfg.mp)
     state = jax.device_put(state, state_sharding(state, mesh))

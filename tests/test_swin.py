@@ -15,7 +15,10 @@ from gdl_tpu.models.swin import (
 )
 from gdl_tpu.ops.window_attention import (
     window_attention_pallas,
+    window_attention_pallas_packed,
+    window_attention_pallas_qkv,
     window_attention_xla,
+    window_attention_xla_packed,
 )
 
 TINY = dict(img_size=32, patch_size=4, embed_dim=16, depths=(1, 2),
@@ -111,3 +114,35 @@ def test_pallas_window_attention_matches_xla():
     out2 = window_attention_pallas(q, k, v, bias, None)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_packed_attention_variants_match_xla():
+    """The packed-head forms (XLA block-diag trick, Pallas packed kernel,
+    and the qkv-direct kernel) against the plain XLA reference, across the
+    Swin-B stage head counts and masked/unmasked."""
+    rng = np.random.default_rng(1)
+    n = 49
+    for h, b, use_mask in ((4, 8, True), (8, 8, False), (32, 4, True)):
+        d = 32
+        c = h * d
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+        mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4]) \
+            if use_mask else None
+
+        ref = np.asarray(window_attention_xla(q, k, v, bias, mask))
+        for fn in (window_attention_xla_packed,
+                   window_attention_pallas_packed):
+            out = np.asarray(fn(q, k, v, bias, mask))
+            np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"{fn.__name__} h={h}")
+
+        # qkv-direct path: emulate the swin qkv projection layout
+        qkv5 = jnp.stack([q, k, v], axis=2)            # [b, h, 3, n, d]
+        qkv = qkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3, c)
+        out = np.asarray(window_attention_pallas_qkv(qkv, bias, mask, h))
+        ref_p = ref.transpose(0, 2, 1, 3).reshape(b, n, c)
+        np.testing.assert_allclose(out, ref_p, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"qkv-direct h={h}")
