@@ -2,15 +2,22 @@
 optional CUDA window-process kernel (models/swin_transformer.py:13-23,
 absent in the reference snapshot and falling back to pure PyTorch).
 
-Two interchangeable implementations, verified equal in tests:
-  - `window_attention_xla`: plain jnp — XLA already fuses the bias add +
-    mask + softmax chain into the two batched matmuls, which at Swin's
-    49-token windows keeps everything resident in VMEM.
-  - `window_attention_pallas`: a Pallas kernel that keeps one block of
-    windows' q/k/v in VMEM and does qkᵀ → +bias/mask → softmax → ·v in a
-    single pass (no HBM roundtrip between the matmuls even across fusion
-    boundaries XLA declines to cross). Tokens are padded to the sublane
-    multiple; the pad is masked out of the softmax.
+Implementations, all verified equal in tests (benchmarks/RESULTS.md for
+the v5e numbers):
+  - `window_attention_xla`: plain jnp — the TRAINING default (fastest
+    full train step; XLA autodiff saves the softmax for the backward).
+  - `window_attention_xla_packed`: the block-diagonal packed-head trick
+    in plain XLA — loses (expanded operands materialize in HBM); kept as
+    the readable spec of the packing math.
+  - `window_attention_pallas`: round-1 per-window kernel (d->128 lane
+    padding); superseded by the packed kernels, kept for comparison.
+  - `window_attention_pallas_packed` / `window_attention_pallas_qkv`:
+    packed-head Pallas kernels — heads ride the 128-lane dim, the
+    block-diagonal expansion is VMEM-only, G windows per grid step.
+    1.56x over XLA at Swin-B stage-1 FORWARD; the qkv-direct form is
+    differentiable (flash-style backward kernel) and is what
+    --use_pallas_attn selects. Best for inference/eval; for training the
+    backward recompute gives the forward win back (RESULTS.md).
 
 Inputs:
   q, k, v: [B, H, N, D]   (B = batch·windows, H heads, N tokens, D head dim)
