@@ -133,10 +133,10 @@ class WindowAttention(nn.Module):
             out = window_attention_pallas_qkv(
                 qkv.reshape(b, n, 3, self.dim), bias, mask, self.num_heads)
         else:
-            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-            q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-            out = window_attention(q, k, v, bias, mask, use_pallas=False)
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            from gdl_tpu.ops.window_attention import window_attention_xla_bnhd
+
+            out = window_attention_xla_bnhd(
+                qkv.reshape(b, n, 3, self.num_heads, head_dim), bias, mask)
         return _dense(self.dim, self.dtype, "proj")(out)
 
 

@@ -56,6 +56,34 @@ def window_attention_xla(q, k, v, bias, mask: Optional[jnp.ndarray] = None,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def window_attention_xla_bnhd(qkv5, bias, mask: Optional[jnp.ndarray] = None,
+                              scale: Optional[float] = None):
+    """XLA attention contracted in the qkv projection's NATIVE layout.
+
+    qkv5: [B, N, 3, H, D] (a pure reshape of the Dense output — no
+    transpose). The einsums carry the head axis in place ('bnhd,bmhd->
+    bhnm'), so XLA's layout assignment chooses where (if anywhere) to
+    materialize a transpose instead of being handed explicit ones — the
+    profiler showed the hand-written [B,N,H,D]->[B,H,N,D] transposes cost
+    ~0.34 ms EACH around every attention (benchmarks/RESULTS.md).
+    Returns [B, N, H*D]."""
+    b, n, _, h, d = qkv5.shape
+    scale = scale if scale is not None else d ** -0.5
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]  # [B, N, H, D]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = (attn.reshape(b // nw, nw, h, n, n)
+                + mask[None, :, None].astype(attn.dtype)).reshape(
+            b, h, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(qkv5.dtype), v,
+                     preferred_element_type=jnp.float32).astype(qkv5.dtype)
+    return out.reshape(b, n, h * d)
+
+
 def window_attention_xla_packed(q, k, v, bias,
                                 mask: Optional[jnp.ndarray] = None,
                                 scale: Optional[float] = None):
