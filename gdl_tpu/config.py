@@ -254,6 +254,17 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--encoder_stages", default=None,
                         type=lambda s: [int(x) for x in s.split(",")],
                         help="blocks per stage, e.g. 1,1,1,1")
+    _ints = lambda s: [int(x) for x in s.split(",")]  # noqa: E731
+    parser.add_argument("--swin_embed_dim", default=d.swin_embed_dim,
+                        type=int)
+    parser.add_argument("--swin_depths", default=list(d.swin_depths),
+                        type=_ints, help="e.g. 2,2,18,2")
+    parser.add_argument("--swin_heads", default=list(d.swin_heads),
+                        type=_ints, help="e.g. 4,8,16,32")
+    parser.add_argument("--swin_window", default=d.swin_window, type=int)
+    parser.add_argument("--swin_img_size", default=d.swin_img_size,
+                        type=int)
+    parser.add_argument("--swin_patch", default=d.swin_patch, type=int)
 
 
 def from_args(args: argparse.Namespace) -> Config:

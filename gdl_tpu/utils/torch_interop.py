@@ -36,16 +36,33 @@ import numpy as np
 
 
 def _torch_components(path: List[str]) -> List[str]:
-    """Flax module-path components -> torch dotted-name components."""
+    """Flax module-path components -> torch dotted-name components.
+
+    Covers the ResNet family (torchvision naming) and the Swin family
+    (Microsoft swin_transformer naming: layers.S.blocks.B...,
+    layers.S.downsample, mlp.fc1/fc2)."""
     out: List[str] = []
     for comp in path:
         m = re.fullmatch(r"(layer\d+)_(\d+)", comp)
         if m:
             out += [m.group(1), m.group(2)]
-        elif comp == "downsample_conv":
+            continue
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", comp)
+        if m:
+            out += ["layers", m.group(1), "blocks", m.group(2)]
+            continue
+        m = re.fullmatch(r"merge(\d+)", comp)
+        if m:
+            out += ["layers", m.group(1), "downsample"]
+            continue
+        if comp == "downsample_conv":
             out += ["downsample", "0"]
         elif comp == "downsample_bn":
             out += ["downsample", "1"]
+        elif comp == "mlp_fc1":
+            out += ["mlp", "fc1"]
+        elif comp == "mlp_fc2":
+            out += ["mlp", "fc2"]
         else:
             out.append(comp)
     return out
@@ -291,10 +308,11 @@ def load_pretrained_encoders(state, path: str, targets=None):
     params = {k: v for k, v in state.params.items()}
     stats = {k: v for k, v in state.batch_stats.items()}
     if targets is None:
-        # any top-level subtree that starts with a conv stem is an encoder
-        # (audio_net/visual_net, the SE-family stem_rgb/stem_depth, ...)
+        # any top-level subtree that starts with a conv stem (ResNet/SE
+        # family) or a patch embed (Swin) is an encoder
         targets = [k for k, v in params.items()
-                   if hasattr(v, "keys") and "conv1" in v]
+                   if hasattr(v, "keys")
+                   and ("conv1" in v or "patch_embed" in v)]
     reports = {}
     for t in targets:
         if t not in params:

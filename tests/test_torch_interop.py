@@ -245,3 +245,69 @@ def test_strict_false_keeps_template_for_missing_keys(saved_reference_ckpt):
     np.testing.assert_array_equal(
         np.asarray(params["fusion_module"]["fc_out"]["kernel"]),
         np.asarray(variables["params"]["fusion_module"]["fc_out"]["kernel"]))
+
+
+def test_swin_name_translation_matches_microsoft_layout():
+    """The exporter emits Microsoft swin_transformer state-dict names for
+    our Swin (layers.S.blocks.B..., layers.S.downsample.reduction,
+    mlp.fc1/fc2, patch_embed.proj, relative_position_bias_table), and the
+    round trip through torch layouts is exact — so a real pretrained
+    Swin-B torch checkpoint partial-loads via --pretrained_path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.swin import SwinTransformer
+    from gdl_tpu.utils.torch_interop import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    cfg = Config(dataset="CREMAD", backbone="swin", swin_embed_dim=16,
+                 swin_depths=[1, 1], swin_heads=[2, 2], swin_window=7,
+                 swin_img_size=56, swin_patch=4)
+    model = SwinTransformer(
+        patch_size=4, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window=7, img_size=56, modality="visual")
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 1, 56, 56, 3)), train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    sd = flax_to_torch_state_dict(params, stats, prefix="")
+    expected = [
+        "patch_embed.proj.weight",
+        "patch_embed.proj.bias",
+        "patch_embed.norm.weight",
+        "layers.0.blocks.0.norm1.weight",
+        "layers.0.blocks.0.attn.relative_position_bias_table",
+        "layers.0.blocks.0.attn.qkv.weight",
+        "layers.0.blocks.0.attn.proj.bias",
+        "layers.0.blocks.0.mlp.fc1.weight",
+        "layers.0.blocks.0.mlp.fc2.bias",
+        "layers.0.downsample.reduction.weight",
+        "layers.0.downsample.norm.weight",
+        "layers.1.blocks.0.attn.qkv.weight",
+        "norm.weight",
+    ]
+    for key in expected:
+        assert key in sd, (key, sorted(sd)[:20])
+    # patch-embed conv in torch layout [C, 3, 4, 4]
+    assert sd["patch_embed.proj.weight"].shape == (16, 3, 4, 4)
+    # qkv linear in torch layout [3C, C]
+    assert sd["layers.0.blocks.0.attn.qkv.weight"].shape == (48, 16)
+
+    # exact round trip (torch checkpoints also carry buffers we ignore)
+    sd["layers.0.blocks.0.attn.relative_position_index"] = np.zeros(
+        (49, 49), np.int64)
+    sd["head.weight"] = np.zeros((1000, 32), np.float32)
+    new_params, _, report = torch_state_dict_to_flax(
+        sd, params, stats, strict=False)
+    assert not report["missing"], report["missing"][:5]
+    assert set(report["unexpected"]) == {
+        "layers.0.blocks.0.attn.relative_position_index", "head.weight"}
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(new_params)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
