@@ -90,6 +90,47 @@ def bench_swin(batch_size: int, iters: int, pallas: bool = False):
     return batch_size * iters / dt, dt / iters * 1e3
 
 
+def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
+    """Forward-only (serving/eval) dual-Swin throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.classifier import AVClassifierSwin
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
+                 alpha=1.0, batch_size=batch_size,
+                 compute_dtype="bfloat16", modulation="Normal",
+                 log_grad_csv=False, fps=1, use_pallas_attn=pallas)
+    model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 100)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               spec_shape=(224, 224), frames=1)
+    r = jax.random.PRNGKey(1)
+    audio = jax.random.normal(r, (batch_size, 224, 224, 1), jnp.bfloat16)
+    visual = jax.random.normal(r, (batch_size, 1, 224, 224, 3),
+                               jnp.bfloat16)
+
+    @jax.jit
+    def infer(params, stats, audio, visual):
+        out = model.apply({"params": params, "batch_stats": stats},
+                          audio, visual, train=False)
+        return out[2]
+
+    out = infer(state.params, state.batch_stats, audio, visual)
+    jax.block_until_ready(out)
+    import time as _t
+
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        out = infer(state.params, state.batch_stats, audio, visual)
+    float(jax.device_get(out[0, 0]))  # force through the tunnel
+    dt = _t.perf_counter() - t0
+    return batch_size * iters / dt, dt / iters * 1e3
+
+
 CONFIGS = {
     "resnet_bs64": lambda it: bench_resnet(64, it),
     "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
@@ -97,6 +138,9 @@ CONFIGS = {
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
+    "swin_eval_bs16": lambda it: bench_swin_eval(16, it),
+    "swin_eval_bs16_pallas": lambda it: bench_swin_eval(16, it,
+                                                        pallas=True),
 }
 
 

@@ -14,10 +14,12 @@ the v5e numbers):
   - `window_attention_pallas_packed` / `window_attention_pallas_qkv`:
     packed-head Pallas kernels — heads ride the 128-lane dim, the
     block-diagonal expansion is VMEM-only, G windows per grid step.
-    1.56x over XLA at Swin-B stage-1 FORWARD; the qkv-direct form is
-    differentiable (flash-style backward kernel) and is what
-    --use_pallas_attn selects. Best for inference/eval; for training the
-    backward recompute gives the forward win back (RESULTS.md).
+    1.56x over XLA at Swin-B stage-1 FORWARD in isolation; the
+    qkv-direct form is differentiable (flash-style backward kernel) and
+    is what --use_pallas_attn selects. End-to-end the per-site layout
+    conversions give the win back (train AND eval — RESULTS.md), so the
+    flag stays opt-in; the model-level win needs layouts kept packed
+    across blocks (future work).
 
 Inputs:
   q, k, v: [B, H, N, D]   (B = batch·windows, H heads, N tokens, D head dim)
