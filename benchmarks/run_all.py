@@ -123,10 +123,13 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
     jax.block_until_ready(out)
     import time as _t
 
+    # force EVERY call through the tunnel: un-forced queued dispatch
+    # under-reports Pallas and over-reports multi-op XLA programs wildly
+    # (see the timing note in RESULTS.md)
     t0 = _t.perf_counter()
     for _ in range(iters):
         out = infer(state.params, state.batch_stats, audio, visual)
-    float(jax.device_get(out[0, 0]))  # force through the tunnel
+        float(jax.device_get(out[0, 0]))
     dt = _t.perf_counter() - t0
     return batch_size * iters / dt, dt / iters * 1e3
 

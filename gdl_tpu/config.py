@@ -139,7 +139,15 @@ class Config:
     swin_window: int = 7
     swin_img_size: int = 224
     swin_patch: int = 4
-    use_pallas_attn: bool = False  # Pallas fused window attention
+    use_pallas_attn: bool = True  # Pallas fused window attention (packed
+    # heads, softmax saved as a forward residual). With the window-resident
+    # layout this wins the full dual-Swin-B TRAIN step on v5e (185.4 vs
+    # 171.1 clips/s, benchmarks/RESULTS.md). Models fall back to the XLA
+    # attention automatically off-TPU (interpret-mode Pallas is only a
+    # correctness path).
+    swin_window_resident: bool = True  # keep Swin tokens window-major
+    # across each stage (one partition/reverse per stage, not per block);
+    # bit-exact with the spatial layout
 
     def __post_init__(self):
         if isinstance(self.lr_decay_step, str):
@@ -265,6 +273,11 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--swin_img_size", default=d.swin_img_size,
                         type=int)
     parser.add_argument("--swin_patch", default=d.swin_patch, type=int)
+    parser.add_argument("--swin_window_resident",
+                        default=d.swin_window_resident,
+                        type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--use_pallas_attn", default=d.use_pallas_attn,
+                        type=lambda s: s not in ("0", "false", "False"))
 
 
 def from_args(args: argparse.Namespace) -> Config:

@@ -240,6 +240,7 @@ class AVClassifierSwin(nn.Module):
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn, pe=pe,
+                  window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)
         self.visual_net = SwinTransformer(modality="visual", **kw)
@@ -294,7 +295,9 @@ class AVClassifierSwinDGL(nn.Module):
                   embed_dim=cfg.swin_embed_dim,
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
-                  use_pallas_attn=cfg.use_pallas_attn, dtype=self.dtype)
+                  use_pallas_attn=cfg.use_pallas_attn,
+                  window_resident=cfg.swin_window_resident,
+                  dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)
         self.visual_net = SwinTransformer(modality="visual", **kw)
         feat_dim = cfg.swin_embed_dim * 2 ** (len(cfg.swin_depths) - 1)

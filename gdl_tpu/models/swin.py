@@ -86,6 +86,37 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
     return x.reshape(b, h, w, -1)
 
 
+def window_shift(xw: jnp.ndarray, shift: int,
+                 inverse: bool = False) -> jnp.ndarray:
+    """Cyclic shift expressed IN the window-resident layout.
+
+    xw: [B, wh, ww, win, win, C]. Equivalent to window-reverse →
+    jnp.roll(±shift, ±shift over the spatial axes) → window-partition
+    (the reference's torch.roll at swin_transformer.py:231-234,:247-250),
+    but as slice+concat along the in-window axes plus a window-index roll:
+    no 7-minor transposes, so XLA emits layout-preserving copies instead
+    of the partition/reverse transpose pair. Row derivation: window I row
+    r of roll(x, -s) is spatial row 7I+r+s, i.e. window I rows s..6
+    followed by window I+1 rows 0..s-1.
+    """
+    win = xw.shape[3]
+    if not inverse:  # windows of roll(x, (-shift, -shift))
+        xw = jnp.concatenate(
+            [xw[:, :, :, shift:], jnp.roll(xw, -1, axis=1)[:, :, :, :shift]],
+            axis=3)
+        xw = jnp.concatenate(
+            [xw[:, :, :, :, shift:],
+             jnp.roll(xw, -1, axis=2)[:, :, :, :, :shift]], axis=4)
+    else:  # windows of roll(x, (+shift, +shift))
+        xw = jnp.concatenate(
+            [jnp.roll(xw, 1, axis=1)[:, :, :, win - shift:],
+             xw[:, :, :, :win - shift]], axis=3)
+        xw = jnp.concatenate(
+            [jnp.roll(xw, 1, axis=2)[:, :, :, :, win - shift:],
+             xw[:, :, :, :, :win - shift]], axis=4)
+    return xw
+
+
 class DropPath(nn.Module):
     """Stochastic depth: per-sample residual-branch drop at train."""
 
@@ -123,7 +154,9 @@ class WindowAttention(nn.Module):
 
         qkv = _dense(3 * self.dim, self.dtype, "qkv",
                      use_bias=self.qkv_bias)(x)
-        if self.use_pallas:
+        # off-TPU the Pallas kernel only has the (slow) interpret path —
+        # fall back to the XLA attention there (CPU tests, multichip dryrun)
+        if self.use_pallas and jax.default_backend() == "tpu":
             # packed-head kernel fed the projection output directly —
             # the per-head split never materializes in HBM
             from gdl_tpu.ops.window_attention import (
@@ -141,6 +174,18 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
+    """One Swin block. Two data layouts, identical math and param tree:
+
+    - spatial (`resident=False`): x is [B, H·W, C]; window partition /
+      reverse transposes happen inside the block (the reference layout,
+      swin_transformer.py:176-268).
+    - window-resident (`resident=True`): x is [B, wh, ww, win, win, C];
+      the stage loop partitions ONCE and blocks stay in window-major
+      layout — the cyclic shift runs via `window_shift` slice+concats.
+      This removes the per-block partition/reverse transpose pair that
+      profiled at 34% of the dual-Swin-B step (benchmarks/RESULTS.md).
+    """
+
     dim: int
     resolution: Tuple[int, int]
     num_heads: int
@@ -149,15 +194,41 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    resident: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         h, w = self.resolution
-        b, l, c = x.shape
         window = min(self.window, min(h, w))
         shift = self.shift if window < min(h, w) else 0
 
+        if self.resident:
+            b, wh, ww, _, _, c = x.shape
+            shortcut = x
+            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            if shift > 0:
+                y = window_shift(y, shift)
+                mask = jnp.asarray(shift_attn_mask(h, w, window, shift))
+            else:
+                mask = None
+            att = y.reshape(b * wh * ww, window * window, c)
+            att = WindowAttention(self.dim, window, self.num_heads,
+                                  use_pallas=self.use_pallas,
+                                  dtype=self.dtype, name="attn")(att, mask)
+            att = att.reshape(b, wh, ww, window, window, c)
+            if shift > 0:
+                att = window_shift(att, shift, inverse=True)
+            x = shortcut + DropPath(self.drop_path,
+                                    name="drop_path1")(att, train)
+            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = _dense(int(self.dim * self.mlp_ratio), self.dtype,
+                       "mlp_fc1")(y)
+            y = nn.gelu(y, approximate=False)
+            y = _dense(self.dim, self.dtype, "mlp_fc2")(y)
+            return x + DropPath(self.drop_path, name="drop_path2")(y, train)
+
+        b, l, c = x.shape
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
@@ -237,6 +308,8 @@ class SwinTransformer(nn.Module):
     use_pallas_attn: bool = False
     use_checkpoint: bool = False  # rematerialize blocks (the reference
     # ctor's use_checkpoint flag) — trades recompute for activation memory
+    window_resident: bool = False  # keep the token stream window-major
+    # across each stage (partition once per stage, shift via slice+concat)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -254,6 +327,13 @@ class SwinTransformer(nn.Module):
         block_cls = nn.remat(SwinBlock, static_argnums=(2,)) \
             if self.use_checkpoint else SwinBlock
         for stage, depth in enumerate(self.depths):
+            win = min(self.window, min(h, w))
+            resident = (self.window_resident
+                        and h % win == 0 and w % win == 0)
+            if resident:  # ONE partition transpose for the whole stage
+                bn = x.shape[0]
+                x = x.reshape(bn, h // win, win, w // win, win, dim)
+                x = x.transpose(0, 1, 3, 2, 4, 5)
             for i in range(depth):
                 x = block_cls(
                     dim=dim, resolution=(h, w),
@@ -261,9 +341,12 @@ class SwinTransformer(nn.Module):
                     shift=0 if i % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
-                    use_pallas=self.use_pallas_attn, dtype=self.dtype,
+                    use_pallas=self.use_pallas_attn, resident=resident,
+                    dtype=self.dtype,
                     name=f"stage{stage}_block{i}")(x, train)
                 block_idx += 1
+            if resident:  # ONE reverse transpose at stage end
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bn, h * w, dim)
             if stage < len(self.depths) - 1:
                 x = PatchMerging((h, w), dim, dtype=self.dtype,
                                  name=f"merge{stage}")(x)

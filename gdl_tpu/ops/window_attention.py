@@ -450,6 +450,97 @@ def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
     dbias_ref[0] += jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
 
 
+def _wa_qkv_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *, g, d,
+                         n_valid, has_mask, scale):
+    """_wa_qkv_kernel that ALSO writes the softmax probabilities p as a
+    forward residual (bf16), so the backward kernel skips the score-matmul
+    + softmax recompute entirely (the recorded round-2 lever: 'save p as a
+    fwd residual', benchmarks/RESULTS.md)."""
+    q = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[0, :, :, 1, :]
+    v = qkv_ref[0, :, :, 2, :]
+    G, np_, gd = q.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    blockmask = (col_head == row_head).astype(q.dtype)
+
+    q_bd = (q[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        m = mask_ref[...].astype(jnp.float32)
+        s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
+            G, g * np_, np_)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p_ref[0] = p.astype(p_ref.dtype)
+    out_full = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * blockmask[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _wa_qkv_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref, *,
+                         g, d, scale):
+    """Backward from the SAVED p residual — no score recompute, no
+    bias/mask inputs (they only affect the backward through p). One fewer
+    big matmul and no softmax per block vs _wa_qkv_bwd_kernel; padded rows
+    and columns self-zero because the upstream dout is zero there and
+    padded-column p entries are ~0."""
+    i = pl.program_id(1)
+    qs = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[0, :, :, 1, :]
+    v = qkv_ref[0, :, :, 2, :]
+    p = p_ref[0].astype(jnp.float32)  # [G, g*Np, Np]
+    dout = dout_ref[0]  # [G, Np, gd]
+    G, np_, gd = qs.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    blockmask = (col_head == row_head).astype(qs.dtype)
+
+    dout_bd = (dout[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dv = jax.lax.dot_general(
+        p.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np, gd]
+    dp = jax.lax.dot_general(
+        dout_bd, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dq_full = jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * blockmask[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    q_bd = (qs[:, None, :, :] * blockmask[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dk = jax.lax.dot_general(
+        ds.astype(q_bd.dtype), q_bd,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    dqkv_ref[0, :, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, :, :, 2, :] = dv.astype(dqkv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
+
+
 def _qkv_specs(G, n_pad, g, gd, nw):
     """Block specs for the qkv kernels. G must DIVIDE the mask period nW;
     block i covers windows [i*G, (i+1)*G) whose masks are the (i mod
@@ -523,10 +614,74 @@ def _qkv_attn_bwd(static, res, dout):
 _qkv_attn_core.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qkv_attn_core_savep(static, qkvp, bias_p, mask_p):
+    """_qkv_attn_core with the softmax saved as a forward residual."""
+    return _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p)[0]
+
+
+def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
+    g, d, n_valid, has_mask, scale, G, nw = static
+    hg, b, n_pad, _, gd = qkvp.shape
+    specs = _qkv_specs(G, n_pad, g, gd, nw)
+    out, p = pl.pallas_call(
+        functools.partial(_wa_qkv_savep_kernel, g=g, d=d, n_valid=n_valid,
+                          has_mask=has_mask, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
+        out_specs=[
+            specs["out"],
+            pl.BlockSpec((1, G, g * n_pad, n_pad),
+                         lambda hi, i: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hg, b, n_pad, gd), qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), qkvp.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, bias_p, mask_p)
+    return out, (qkvp, p, bias_p, mask_p)
+
+
+def _qkv_attn_savep_bwd(static, res, dout):
+    g, d, n_valid, has_mask, scale, G, nw = static
+    qkvp, p, bias_p, mask_p = res
+    hg, b, n_pad, _, gd = qkvp.shape
+    # the residual-p backward holds p, dp, ds concurrently (~3 score-sized
+    # f32 arrays) — same halved window block as the recompute backward
+    G = math.gcd(G, 16)
+    specs = _qkv_specs(G, n_pad, g, gd, nw)
+    p_spec = pl.BlockSpec((1, G, g * n_pad, n_pad),
+                          lambda hi, i: (hi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dqkvp, dbias_p = pl.pallas_call(
+        functools.partial(_wa_qkv_bwd_p_kernel, g=g, d=d, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], p_spec, specs["out"]],
+        out_specs=[
+            specs["qkv"],
+            pl.BlockSpec((1, g * n_pad, n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, g * n_pad, n_pad), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, p, dout)
+    return dqkvp, dbias_p.astype(bias_p.dtype), jnp.zeros_like(mask_p)
+
+
+_qkv_attn_core_savep.defvjp(_qkv_attn_savep_fwd, _qkv_attn_savep_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "save_p"))
 def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
                                 num_heads: int,
-                                scale: Optional[float] = None):
+                                scale: Optional[float] = None,
+                                save_p: bool = True):
     """Packed-head Pallas attention fed DIRECTLY with the qkv projection
     output — [B, N, 3, C] (the reshape of the Dense's [B, N, 3C]) — and
     returning [B, N, C]. The head split never materializes in HBM: the
@@ -534,7 +689,10 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     gd(=128) lanes contiguous, so the only host-side data movement is the
     N->Np pad (and, for hg > 1, one fused transpose to lead with the
     head-group axis). Differentiable: the backward pass is a second Pallas
-    kernel (_wa_qkv_bwd_kernel) that recomputes the softmax in VMEM."""
+    kernel: with `save_p` (default) the forward stores the softmax
+    probabilities as a bf16 residual and the backward skips the score
+    recompute (_wa_qkv_bwd_p_kernel); save_p=False selects the flash-style
+    recompute backward (_wa_qkv_bwd_kernel)."""
     b, n, three, c = qkv.shape
     assert three == 3
     d = c // num_heads
@@ -545,6 +703,11 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
         g -= 1
     hg = h // g
     gd = g * d
+    # Token-dim rounding to 8 sublanes. An unpadded (Np=49) variant was
+    # tried and is a recorded NEGATIVE: Mosaic accepts the 49-sized blocks
+    # but its stack allocation grows past the 16 MB scoped-vmem limit at
+    # G=32 (fails by 252 KB), and the G=16 fallback costs more than the
+    # pad copies it saves (177.8 vs 185.4 clips/s full train step).
     n_pad = _round_up(n, 8)
 
     if mask is not None:
@@ -573,7 +736,8 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
         mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
 
     static = (g, d, n, mask is not None, scale, G, nw)
-    out = _qkv_attn_core(static, qkvp, bias_p, mask_p)
+    core = _qkv_attn_core_savep if save_p else _qkv_attn_core
+    out = core(static, qkvp, bias_p, mask_p)
     out = out[:, :, :n].transpose(1, 2, 0, 3)  # [B, N, HG, gd]
     return out.reshape(b, n, c)
 

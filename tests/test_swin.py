@@ -1,6 +1,8 @@
 """Swin encoder: shape contract, shifted-window machinery, PE branch, and
 XLA-vs-Pallas window-attention equality."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,7 @@ from gdl_tpu.models.swin import (
     shift_attn_mask,
     window_partition,
     window_reverse,
+    window_shift,
 )
 from gdl_tpu.ops.window_attention import (
     window_attention_pallas,
@@ -31,6 +34,59 @@ def test_window_partition_roundtrip():
     assert wins.shape == (2 * 4, 16, 3)
     back = window_reverse(wins, 4, 8, 8)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_window_shift_matches_roll_plus_partition():
+    """window_shift (the window-resident cyclic shift) against the
+    reference construction: spatial roll then partition
+    (swin_transformer.py:231-234), both directions."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 14, 14, 5)), jnp.float32)
+    win, s = 7, 3
+    xw = x.reshape(2, 2, win, 2, win, 5).transpose(0, 1, 3, 2, 4, 5)
+
+    ref = window_partition(jnp.roll(x, (-s, -s), axis=(1, 2)), win)
+    got = window_shift(xw, s).reshape(8, win * win, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    y = jnp.asarray(rng.standard_normal((2, 2, 2, win, win, 5)), jnp.float32)
+    ref_sp = jnp.roll(window_reverse(y.reshape(8, win * win, 5), win, 14, 14),
+                      (s, s), axis=(1, 2))
+    ref_w = ref_sp.reshape(2, 2, win, 2, win, 5).transpose(0, 1, 3, 2, 4, 5)
+    got_w = window_shift(y, s, inverse=True)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+
+
+def test_window_resident_layout_bit_exact():
+    """The window-resident stage layout is the SAME program as the spatial
+    layout up to data movement — outputs must be bit-exact, eval and train
+    (shared params; droppath rngs line up because mask element counts are
+    identical)."""
+    kw = dict(modality="audio", img_size=56, patch_size=4, embed_dim=16,
+              depths=(2, 2), num_heads=(2, 4), window=7, drop_path_rate=0.1)
+    m0 = SwinTransformer(**kw, window_resident=False)
+    m1 = SwinTransformer(**kw, window_resident=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 1))
+    p = m0.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(p, x, train=False)),
+        np.asarray(m1.apply(p, x, train=False)))
+
+    rngs = {"droppath": jax.random.PRNGKey(2)}
+    o0 = m0.apply(p, x, train=True, rngs=rngs)
+    o1 = m1.apply(p, x, train=True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    # visual modality (B·T fold) as well
+    kwv = dict(kw, modality="visual")
+    mv0 = SwinTransformer(**kwv, window_resident=False)
+    mv1 = SwinTransformer(**kwv, window_resident=True)
+    xv = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 56, 56, 3))
+    pv = mv0.init({"params": jax.random.PRNGKey(0)}, xv, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(mv0.apply(pv, xv, train=False)),
+        np.asarray(mv1.apply(pv, xv, train=False)))
 
 
 def test_relative_position_index_matches_torch_recipe():
@@ -142,7 +198,48 @@ def test_packed_attention_variants_match_xla():
         # qkv-direct path: emulate the swin qkv projection layout
         qkv5 = jnp.stack([q, k, v], axis=2)            # [b, h, 3, n, d]
         qkv = qkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3, c)
-        out = np.asarray(window_attention_pallas_qkv(qkv, bias, mask, h))
         ref_p = ref.transpose(0, 2, 1, 3).reshape(b, n, c)
-        np.testing.assert_allclose(out, ref_p, rtol=2e-4, atol=2e-5,
-                                   err_msg=f"qkv-direct h={h}")
+        for save_p in (False, True):
+            out = np.asarray(window_attention_pallas_qkv(
+                qkv, bias, mask, h, save_p=save_p))
+            np.testing.assert_allclose(
+                out, ref_p, rtol=2e-4, atol=2e-5,
+                err_msg=f"qkv-direct h={h} save_p={save_p}")
+
+
+def test_qkv_attention_savep_gradients_match_xla():
+    """The residual-p backward kernel (softmax saved in the forward, no
+    recompute) against XLA autodiff of the same function — dqkv and dbias."""
+    rng = np.random.default_rng(5)
+    n = 49
+    for h, b, use_mask in ((4, 8, True), (8, 8, False)):
+        d = 32
+        c = h * d
+        q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)),
+                               jnp.float32) for _ in range(3))
+        bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+        mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4]) \
+            if use_mask else None
+        qkv = jnp.stack([q, k, v], axis=2).transpose(0, 3, 2, 1, 4)
+        qkv = qkv.reshape(b, n, 3, c)
+
+        def loss_pallas(qkv, bias, save_p):
+            o = window_attention_pallas_qkv(qkv, bias, mask, h,
+                                            save_p=save_p)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_xla(qkv, bias):
+            q5 = qkv.reshape(b, n, 3, h, d)
+            qq, kk, vv = (q5[:, :, i].transpose(0, 2, 1, 3)
+                          for i in range(3))
+            o = window_attention_xla(qq, kk, vv, bias, mask)
+            return jnp.sum(jnp.sin(o.transpose(0, 2, 1, 3).reshape(b, n, c)))
+
+        ref = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+        for save_p in (False, True):
+            got = jax.grad(functools.partial(loss_pallas, save_p=save_p),
+                           argnums=(0, 1))(qkv, bias)
+            for a, r, nm in zip(got, ref, ("dqkv", "dbias")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(r), rtol=5e-4, atol=5e-5,
+                    err_msg=f"h={h} {nm} save_p={save_p}")
