@@ -33,8 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from gdl_tpu.ops.window_attention import window_attention
-
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 

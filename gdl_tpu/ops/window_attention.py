@@ -348,11 +348,14 @@ def window_attention_pallas_packed(q, k, v, bias,
 
 def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
                    has_mask, scale):
-    """qkv-direct variant of _wa_packed_kernel: one block [1, G, Np, 3, gd]
-    holding q/k/v for G windows of one head-group, already packed."""
-    q = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
-    k = qkv_ref[0, :, :, 1, :]
-    v = qkv_ref[0, :, :, 2, :]
+    """qkv-direct variant of _wa_packed_kernel: one block [G, Np, 3, gd]
+    holding q/k/v for G windows of one head-group. The head-group axis is
+    a LANE-dim block of the natural [B, Np, 3, C] projection layout
+    (block lane size gd=128, index hi) — no host-side transpose exists at
+    any stage."""
+    q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
     G, np_, gd = q.shape
     col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
     row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
@@ -377,7 +380,7 @@ def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
         preferred_element_type=jnp.float32)
     out = jnp.sum(out_full.reshape(G, g, np_, gd)
                   * blockmask[None, :, None, :].astype(jnp.float32), axis=1)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
@@ -388,10 +391,10 @@ def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
     gd- or g*Np-deep). dbias accumulates across the window-block grid axis
     (the output block is revisited on consecutive steps)."""
     i = pl.program_id(1)
-    qs = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
-    k = qkv_ref[0, :, :, 1, :]
-    v = qkv_ref[0, :, :, 2, :]
-    dout = dout_ref[0]  # [G, Np, gd]
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    dout = dout_ref[...]  # [G, Np, gd]
     G, np_, gd = qs.shape
     col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
     row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
@@ -439,9 +442,9 @@ def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [G, Np, gd]
 
-    dqkv_ref[0, :, :, 0, :] = dq.astype(dqkv_ref.dtype)
-    dqkv_ref[0, :, :, 1, :] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[0, :, :, 2, :] = dv.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2, :] = dv.astype(dqkv_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -456,9 +459,9 @@ def _wa_qkv_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *, g, d,
     forward residual (bf16), so the backward kernel skips the score-matmul
     + softmax recompute entirely (the recorded round-2 lever: 'save p as a
     fwd residual', benchmarks/RESULTS.md)."""
-    q = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
-    k = qkv_ref[0, :, :, 1, :]
-    v = qkv_ref[0, :, :, 2, :]
+    q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
     G, np_, gd = q.shape
     col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
     row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
@@ -484,7 +487,7 @@ def _wa_qkv_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *, g, d,
         preferred_element_type=jnp.float32)
     out = jnp.sum(out_full.reshape(G, g, np_, gd)
                   * blockmask[None, :, None, :].astype(jnp.float32), axis=1)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _wa_qkv_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref, *,
@@ -495,11 +498,11 @@ def _wa_qkv_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref, *,
     and columns self-zero because the upstream dout is zero there and
     padded-column p entries are ~0."""
     i = pl.program_id(1)
-    qs = qkv_ref[0, :, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
-    k = qkv_ref[0, :, :, 1, :]
-    v = qkv_ref[0, :, :, 2, :]
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
     p = p_ref[0].astype(jnp.float32)  # [G, g*Np, Np]
-    dout = dout_ref[0]  # [G, Np, gd]
+    dout = dout_ref[...]  # [G, Np, gd]
     G, np_, gd = qs.shape
     col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
     row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
@@ -530,9 +533,9 @@ def _wa_qkv_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref, *,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
-    dqkv_ref[0, :, :, 0, :] = dq.astype(dqkv_ref.dtype)
-    dqkv_ref[0, :, :, 1, :] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[0, :, :, 2, :] = dv.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2, :] = dv.astype(dqkv_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -544,18 +547,22 @@ def _wa_qkv_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref, *,
 def _qkv_specs(G, n_pad, g, gd, nw):
     """Block specs for the qkv kernels. G must DIVIDE the mask period nW;
     block i covers windows [i*G, (i+1)*G) whose masks are the (i mod
-    nW/G)-th chunk of the mask array."""
+    nW/G)-th chunk of the mask array. The head-group axis hi is a LANE-dim
+    block (gd=128 lanes) of the projection's natural [B, Np, 3, C] /
+    [B, Np, C] layouts — no host-side head transpose exists for any head
+    count (the earlier layout led with hg and forced a real [B,N,3,hg,gd]
+    -> [hg,B,N,3,gd] transpose at every stage-2/3/4 site)."""
     n_chunks = max(nw // G, 1)
     return dict(
-        qkv=pl.BlockSpec((1, G, n_pad, 3, gd),
-                         lambda hi, i: (hi, i, 0, 0, 0),
+        qkv=pl.BlockSpec((G, n_pad, 3, gd),
+                         lambda hi, i: (i, 0, 0, hi),
                          memory_space=pltpu.VMEM),
         bias=pl.BlockSpec((1, g * n_pad, n_pad), lambda hi, i: (hi, 0, 0),
                           memory_space=pltpu.VMEM),
         mask=pl.BlockSpec((G, n_pad, n_pad),
                           lambda hi, i: (i % n_chunks, 0, 0),
                           memory_space=pltpu.VMEM),
-        out=pl.BlockSpec((1, G, n_pad, gd), lambda hi, i: (hi, i, 0, 0),
+        out=pl.BlockSpec((G, n_pad, gd), lambda hi, i: (i, 0, hi),
                          memory_space=pltpu.VMEM),
     )
 
@@ -569,7 +576,9 @@ def _qkv_attn_core(static, qkvp, bias_p, mask_p):
 
 def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
     g, d, n_valid, has_mask, scale, G, nw = static
-    hg, b, n_pad, _, gd = qkvp.shape
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
     specs = _qkv_specs(G, n_pad, g, gd, nw)
     out = pl.pallas_call(
         functools.partial(_wa_qkv_kernel, g=g, d=d, n_valid=n_valid,
@@ -577,7 +586,7 @@ def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
         grid=(hg, b // G),
         in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
         out_specs=specs["out"],
-        out_shape=jax.ShapeDtypeStruct((hg, b, n_pad, gd), qkvp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
         interpret=jax.default_backend() != "tpu",
     )(qkvp, bias_p, mask_p)
     return out, (qkvp, bias_p, mask_p)
@@ -586,7 +595,9 @@ def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
 def _qkv_attn_bwd(static, res, dout):
     g, d, n_valid, has_mask, scale, G, nw = static
     qkvp, bias_p, mask_p = res
-    hg, b, n_pad, _, gd = qkvp.shape
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
     # the backward kernel holds ~2x the forward's live VMEM (p, dp, ds,
     # dout_bd all at once) — halve the window block to stay under the
     # 16 MB scoped-vmem limit
@@ -622,7 +633,9 @@ def _qkv_attn_core_savep(static, qkvp, bias_p, mask_p):
 
 def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
     g, d, n_valid, has_mask, scale, G, nw = static
-    hg, b, n_pad, _, gd = qkvp.shape
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
     specs = _qkv_specs(G, n_pad, g, gd, nw)
     out, p = pl.pallas_call(
         functools.partial(_wa_qkv_savep_kernel, g=g, d=d, n_valid=n_valid,
@@ -636,7 +649,7 @@ def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hg, b, n_pad, gd), qkvp.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
             jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), qkvp.dtype),
         ],
         interpret=jax.default_backend() != "tpu",
@@ -647,7 +660,9 @@ def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
 def _qkv_attn_savep_bwd(static, res, dout):
     g, d, n_valid, has_mask, scale, G, nw = static
     qkvp, p, bias_p, mask_p = res
-    hg, b, n_pad, _, gd = qkvp.shape
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
     # the residual-p backward holds p, dp, ds concurrently (~3 score-sized
     # f32 arrays) — same halved window block as the recompute backward
     G = math.gcd(G, 16)
@@ -686,9 +701,9 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     output — [B, N, 3, C] (the reshape of the Dense's [B, N, 3C]) — and
     returning [B, N, C]. The head split never materializes in HBM: the
     qkv Dense's column order [3, H, dh] already has each head-group's
-    gd(=128) lanes contiguous, so the only host-side data movement is the
-    N->Np pad (and, for hg > 1, one fused transpose to lead with the
-    head-group axis). Differentiable: the backward pass is a second Pallas
+    gd(=128) lanes contiguous and the kernel addresses each head group as
+    a 128-lane block — the only host-side data movement is the N->Np pad.
+    Differentiable: the backward pass is a second Pallas
     kernel: with `save_p` (default) the forward stores the softmax
     probabilities as a bf16 residual and the backward skips the score
     recompute (_wa_qkv_bwd_p_kernel); save_p=False selects the flash-style
@@ -722,11 +737,11 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
             G //= 2
         G = max(G, 1)
 
+    # natural layout straight from the projection: [B, Np, 3, C]. The
+    # head-group axis is addressed as a 128-lane block inside the kernel
+    # (lane block index hi), so NO transpose exists at any head count —
+    # the earlier hg-leading layout cost a real copy per stage-2/3/4 site.
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
-    # [HG, B, Np, 3, gd]: Mosaic needs the last two BLOCK dims to equal the
-    # array dims (or be tile multiples) — hg must lead. For stage 1 (hg=1,
-    # the dominant cost) this transpose is a pure reshape.
-    qkvp = qkvp.reshape(b, n_pad, 3, hg, gd).transpose(3, 0, 1, 2, 4)
     bias_p = jnp.pad(bias.reshape(hg, g, n, n),
                      ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
     bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
@@ -737,9 +752,8 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
 
     static = (g, d, n, mask is not None, scale, G, nw)
     core = _qkv_attn_core_savep if save_p else _qkv_attn_core
-    out = core(static, qkvp, bias_p, mask_p)
-    out = out[:, :, :n].transpose(1, 2, 0, 3)  # [B, N, HG, gd]
-    return out.reshape(b, n, c)
+    out = core(static, qkvp, bias_p, mask_p)  # [B, Np, C]
+    return out[:, :n]
 
 
 def window_attention(q, k, v, bias, mask=None, scale=None,
