@@ -90,6 +90,43 @@ def bench_swin(batch_size: int, iters: int, pallas: bool = False):
     return batch_size * iters / dt, dt / iters * 1e3
 
 
+def bench_swin_dgl(batch_size: int, iters: int, pallas: bool = True):
+    """VGGSound-scale DGL train step with dual Swin-B encoders
+    (AVClassifierSwinDGL — the BASELINE 'full-scale DGL with Swin' row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.classifier import AVClassifierSwinDGL
+    from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="VGGSound", fusion_method="concat", backbone="swin",
+                 modality="full", batch_size=batch_size,
+                 compute_dtype="bfloat16", log_grad_csv=False, fps=1,
+                 use_pallas_attn=pallas)
+    model = AVClassifierSwinDGL(config=cfg, dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 100)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               spec_shape=(224, 224), frames=1)
+    r = jax.random.PRNGKey(1)
+    batch = {"audio": jax.random.normal(r, (batch_size, 224, 224, 1)),
+             "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
+             "label": jnp.zeros((batch_size,), jnp.int32)}
+    step = jax.jit(make_dgl_train_step(model, cfg, opt,
+                                       base_rng=jax.random.PRNGKey(2)),
+                   donate_argnums=(0,))
+    for _ in range(2):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt, dt / iters * 1e3
+
+
 def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
     """Forward-only (serving/eval) dual-Swin throughput."""
     import jax
@@ -141,6 +178,11 @@ CONFIGS = {
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
+    "swin_dgl_bs16": lambda it: bench_swin_dgl(16, max(it // 2, 5)),
+    "swin_bs32_pallas": lambda it: bench_swin(32, max(it // 2, 5),
+                                              pallas=True),
+    "swin_dgl_bs16_xla": lambda it: bench_swin_dgl(16, max(it // 2, 5),
+                                                   pallas=False),
     "swin_eval_bs16": lambda it: bench_swin_eval(16, it),
     "swin_eval_bs16_pallas": lambda it: bench_swin_eval(16, it,
                                                         pallas=True),

@@ -17,10 +17,72 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from gdl_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+
+
+class StemConv7x7s2(nn.Module):
+    """The 7x7/stride-2 stem conv (backbone.py:96-103), with an optional
+    space-to-depth lowering for the TPU MXU.
+
+    The plain form contracts over K = 7·7·Cin (49 for audio, 147 for
+    visual) — shallow, im2col-heavy work that profiles at a fraction of
+    peak. The s2d form is the SAME linear map re-expressed: pad the
+    kernel to 8x8 (zeros), split input and kernel into 2x2 spatial parity
+    planes, and run a dense stride-1 VALID 4x4 conv over the
+    half-resolution, 4·Cin-channel packing (the MLPerf ResNet 'conv0
+    space-to-depth' trick). Bitwise it differs only by float reassociation.
+
+    The parameter is `kernel` [7,7,Cin,F] under this module's name, so a
+    ResNet using it under name='conv1' keeps the exact conv1/kernel param
+    path (checkpoints + torch interop unchanged).
+
+    mode: 'auto' = s2d on TPU backends, plain conv elsewhere;
+          's2d' / 'conv' force a path (tests).
+
+    MEASURED (v5e, full CREMA-D DGL bs64 step): a wash — 2646 clips/s
+    s2d vs 2664 plain. The stem's 22% step share is BN + maxpool on the
+    large maps, not the conv, and the padded 8x8 kernel adds 31% nominal
+    stem FLOPs (which would also inflate the XLA-cost-model MFU bench.py
+    reports). ResNet therefore defaults stem_mode='conv'; the lowering
+    stays available and tested."""
+
+    features: int
+    dtype: Any = jnp.float32
+    mode: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (7, 7, c, self.features))
+        kernel = kernel.astype(self.dtype)
+        use_s2d = (self.mode == "s2d"
+                   or (self.mode == "auto"
+                       and jax.default_backend() == "tpu"))
+        if not use_s2d:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # out[i] = sum_{r<8} xpad[2i+r]·w8[r] with w8[7]=0 == the 7-tap
+        # stride-2 conv; split by parity -> 4-tap stride-1 on each plane.
+        ph, pw = 3 + h % 2, 3 + w % 2  # right pad: even length for s2d
+        xp = jnp.pad(x, ((0, 0), (3, ph), (3, pw), (0, 0)))
+        h2, w2 = (h + 3 + ph) // 2, (w + 3 + pw) // 2
+        xs = xp.reshape(b, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, h2, w2, 4 * c)
+        wk = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 8x8
+        wk = wk.reshape(4, 2, 4, 2, c, self.features)
+        wk = wk.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            xs, wk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class BasicBlock(nn.Module):
@@ -60,6 +122,8 @@ class ResNet(nn.Module):
     width: int = 64  # stem width; stages are (w, 2w, 4w, 8w)
     dtype: Any = jnp.float32
     bn_groups: int = 1  # >1: per-replica (DataParallel-semantics) BN
+    stem_mode: str = "conv"  # 's2d'/'auto' select the space-to-depth
+    # stem lowering — measured a wash on the full step (see StemConv7x7s2)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,12 +142,8 @@ class ResNet(nn.Module):
             )
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            name="conv1",
-        )(x)
+        x = StemConv7x7s2(self.width, dtype=self.dtype,
+                          mode=self.stem_mode, name="conv1")(x)
         x = batch_norm(train, self.dtype, name="bn1",
                        groups=self.bn_groups)(x)
         x = nn.relu(x)

@@ -137,3 +137,27 @@ def test_encoder_output_dim_512_at_reference_width():
     p = shapes["params"]
     assert p["conv1"]["kernel"].shape == (7, 7, 1, 64)
     assert p["layer4_1"]["conv2"]["kernel"].shape == (3, 3, 512, 512)
+
+
+def test_stem_s2d_lowering_matches_plain_conv():
+    """StemConv7x7s2 's2d' mode (the TPU space-to-depth lowering of the
+    7x7/s2 stem) is the same linear map as the plain conv — equal to
+    float-reassociation tolerance at every parity of the input dims, with
+    the exact torch output size, and the param path stays conv1/kernel."""
+    from gdl_tpu.models.resnet import StemConv7x7s2
+
+    rng = np.random.RandomState(3)
+    for (h, w, c) in ((257, 188, 1), (224, 224, 3), (33, 47, 3)):
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        m_conv = StemConv7x7s2(16, mode="conv")
+        m_s2d = StemConv7x7s2(16, mode="s2d")
+        p = m_conv.init(jax.random.PRNGKey(0), x)
+        o1 = np.asarray(m_conv.apply(p, x))
+        o2 = np.asarray(m_s2d.apply(p, x))
+        assert o1.shape == o2.shape == (2, (h + 1) // 2, (w + 1) // 2, 16)
+        np.testing.assert_allclose(o2, o1, rtol=2e-5, atol=2e-6)
+
+    enc = resnet18("audio", width=8, stage_sizes=(1, 1, 1, 1))
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 1)),
+                      train=False)["params"]
+    assert params["conv1"]["kernel"].shape == (7, 7, 1, 8)
