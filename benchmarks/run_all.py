@@ -150,25 +150,29 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
     visual = jax.random.normal(r, (batch_size, 1, 224, 224, 3),
                                jnp.bfloat16)
 
+    # device time via a dependency-chained fori_loop inside ONE jit (the
+    # only trustworthy method through the remote tunnel — per-call loops
+    # mis-report in BOTH directions, see the timing note in RESULTS.md)
     @jax.jit
-    def infer(params, stats, audio, visual):
-        out = model.apply({"params": params, "batch_stats": stats},
-                          audio, visual, train=False)
-        return out[2]
+    def many(params, stats, audio, visual):
+        def body(_, a):
+            out = model.apply({"params": params, "batch_stats": stats},
+                              a, visual, train=False)[2]
+            return a + (jnp.sum(out) * 1e-8).astype(a.dtype)
 
-    out = infer(state.params, state.batch_stats, audio, visual)
-    jax.block_until_ready(out)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, audio)
+                       .astype(jnp.float32))
+
     import time as _t
 
-    # force EVERY call through the tunnel: un-forced queued dispatch
-    # under-reports Pallas and over-reports multi-op XLA programs wildly
-    # (see the timing note in RESULTS.md)
-    t0 = _t.perf_counter()
-    for _ in range(iters):
-        out = infer(state.params, state.batch_stats, audio, visual)
-        float(jax.device_get(out[0, 0]))
-    dt = _t.perf_counter() - t0
-    return batch_size * iters / dt, dt / iters * 1e3
+    float(many(state.params, state.batch_stats, audio, visual))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(many(state.params, state.batch_stats, audio, visual))
+        best = min(best, _t.perf_counter() - t0)
+    dt = best / iters
+    return batch_size / dt, dt * 1e3
 
 
 CONFIGS = {

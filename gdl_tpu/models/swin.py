@@ -140,7 +140,7 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray]):
+    def __call__(self, x, mask: Optional[jnp.ndarray], train: bool = True):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         table = self.param(
@@ -152,9 +152,12 @@ class WindowAttention(nn.Module):
 
         qkv = _dense(3 * self.dim, self.dtype, "qkv",
                      use_bias=self.qkv_bias)(x)
-        # off-TPU the Pallas kernel only has the (slow) interpret path —
-        # fall back to the XLA attention there (CPU tests, multichip dryrun)
-        if self.use_pallas and jax.default_backend() == "tpu":
+        # The Pallas path wins the TRAIN step (residual-p backward) but the
+        # plain-XLA forward wins inference (14.6 vs 16.8 ms dual Swin-B —
+        # the save-p forward also writes a residual nothing consumes), so
+        # pallas is gated to training. Off-TPU the kernel only has the
+        # (slow) interpret path — XLA there too (CPU tests, dryruns).
+        if self.use_pallas and train and jax.default_backend() == "tpu":
             # packed-head kernel fed the projection output directly —
             # the per-head split never materializes in HBM
             from gdl_tpu.ops.window_attention import (
@@ -213,7 +216,8 @@ class SwinBlock(nn.Module):
             att = y.reshape(b * wh * ww, window * window, c)
             att = WindowAttention(self.dim, window, self.num_heads,
                                   use_pallas=self.use_pallas,
-                                  dtype=self.dtype, name="attn")(att, mask)
+                                  dtype=self.dtype, name="attn")(att, mask,
+                                                                 train)
             att = att.reshape(b, wh, ww, window, window, c)
             if shift > 0:
                 att = window_shift(att, shift, inverse=True)
@@ -238,7 +242,7 @@ class SwinBlock(nn.Module):
         x = window_partition(x, window)
         x = WindowAttention(self.dim, window, self.num_heads,
                             use_pallas=self.use_pallas, dtype=self.dtype,
-                            name="attn")(x, mask)
+                            name="attn")(x, mask, train)
         x = window_reverse(x, window, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))

@@ -253,8 +253,6 @@ def _wa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         m = mask_ref[...].astype(jnp.float32)  # [G, Np, Np]
         s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
             G, g * np_, np_)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < n_valid, s, -1e30)
     s = jax.nn.softmax(s, axis=-1)
     out_full = jax.lax.dot_general(
         s.astype(v_ref.dtype), v_ref[0],
@@ -308,8 +306,11 @@ def window_attention_pallas_packed(q, k, v, bias,
     qp = pack(q * jnp.asarray(scale, q.dtype))
     kp = pack(k)
     vp = pack(v)
+    # padded-key masking folded into the bias columns (no in-kernel where)
     bias_p = jnp.pad(bias.reshape(hg, g, n, n),
-                     ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+                     ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    bias_p = jnp.pad(bias_p, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                     constant_values=-1e30)
     bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
     if mask is not None:
         mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
@@ -371,8 +372,6 @@ def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
         m = mask_ref[...].astype(jnp.float32)
         s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
             G, g * np_, np_)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < n_valid, s, -1e30)
     s = jax.nn.softmax(s, axis=-1)
     out_full = jax.lax.dot_general(
         s.astype(v.dtype), v,
@@ -411,8 +410,6 @@ def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
         m = mask_ref[...].astype(jnp.float32)
         s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
             G, g * np_, np_)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < n_valid, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)  # [G, g*Np, Np] fp32
 
     dout_bd = (dout[:, None, :, :] * blockmask[None, :, None, :]).reshape(
@@ -477,8 +474,6 @@ def _wa_qkv_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *, g, d,
         m = mask_ref[...].astype(jnp.float32)
         s = (s.reshape(G, g, np_, np_) + m[:, None]).reshape(
             G, g * np_, np_)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < n_valid, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     p_ref[0] = p.astype(p_ref.dtype)
     out_full = jax.lax.dot_general(
@@ -742,8 +737,14 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     # (lane block index hi), so NO transpose exists at any head count —
     # the earlier hg-leading layout cost a real copy per stage-2/3/4 site.
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    # fold the padded-KEY masking into the bias (columns >= n get -1e30)
+    # so the kernels skip a full score-sized iota+where in the forward AND
+    # the recompute backward; padded-row softmaxes stay finite (their
+    # valid columns are 0 + bias) and their dout is zero either way.
     bias_p = jnp.pad(bias.reshape(hg, g, n, n),
-                     ((0, 0), (0, 0), (0, n_pad - n), (0, n_pad - n)))
+                     ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    bias_p = jnp.pad(bias_p, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                     constant_values=-1e30)
     bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
     if mask is not None:
         mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))

@@ -1,0 +1,101 @@
+"""AOT serving export: serialize a trained eval function to a portable
+artifact via `jax.export` (StableHLO bytes, weights baked in as constants).
+
+The reference has no serving story — its `valid.py` re-runs the Python
+model per evaluation (/root/reference/valid.py:123-178). The TPU-native
+production path is ahead-of-time: lower the jitted eval step once for the
+target platform(s), serialize it, and replay it anywhere with
+`load_exported(path).call(audio, visual)` — no model code, no Flax, no
+checkpoint loading at serving time. Pallas window-attention kernels ride
+along as custom calls when lowered for TPU; CPU lowerings take the XLA
+attention path automatically (gdl_tpu/models/swin.py backend gate).
+
+    # train, then:
+    python valid.py --ckpt_path ckpt.pth --export_path model.hlo ...
+    # serve:
+    from gdl_tpu.serve import load_exported
+    logits, logits_a, logits_v = load_exported("model.hlo").call(a, v)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_eval(model, variables: dict, example_inputs: Sequence[Any],
+                platforms: Optional[Sequence[str]] = None):
+    """Export `model.apply(variables, *inputs, train=False)` with the
+    weights closed over as constants. Returns a jax.export.Exported.
+
+    platforms: lowering targets, e.g. ("tpu",) or ("tpu", "cpu");
+    None = the current default backend.
+    """
+
+    def serve_fn(*inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    specs = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype)
+                  for x in example_inputs)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    return jax_export.export(jax.jit(serve_fn), **kw)(*specs)
+
+
+def save_exported(exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Deserialize an artifact written by save_exported. Use `.call(...)`."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(bytearray(f.read()))
+
+
+def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
+                           batch_size: Optional[int] = None,
+                           platforms: Optional[Sequence[str]] = None):
+    """Build the DGL classifier for `cfg`, load a checkpoint (ours or a
+    reference torch .pth), and write the serving artifact. The exported
+    callable takes (audio [B,F,T,1] f32, visual [B,T,H,W,3] f32) shaped
+    by the dataset config and returns the (out, out_a, out_v) logits."""
+    from gdl_tpu.models.classifier import AVClassifierDGL, AVClassifierSwinDGL
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.optim import make_optimizer
+    from gdl_tpu.utils.checkpoint import (
+        load_legacy_checkpoint,
+        restore_params_into_state,
+    )
+    from gdl_tpu.utils.torch_interop import (
+        is_torch_checkpoint,
+        load_torch_checkpoint,
+        restore_torch_into_state,
+    )
+
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    cls = AVClassifierSwinDGL if cfg.backbone == "swin" else AVClassifierDGL
+    model = cls(config=cfg, dtype=dtype)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               make_optimizer(cfg, 1))
+    if is_torch_checkpoint(ckpt_path):
+        state = restore_torch_into_state(state, load_torch_checkpoint(
+            ckpt_path, cfg))
+    else:
+        state = restore_params_into_state(state, load_legacy_checkpoint(
+            ckpt_path, cfg))
+
+    b = batch_size or cfg.batch_size
+    f, t = cfg.spec_shape
+    audio = jnp.zeros((b, f, t, 1), jnp.float32)
+    visual = jnp.zeros((b, cfg.fps, 224, 224, 3), jnp.float32)
+    exported = export_eval(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        (audio, visual), platforms=platforms)
+    save_exported(exported, out_path)
+    return exported

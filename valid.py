@@ -20,6 +20,9 @@ from gdl_tpu.train.loop import run_eval
 def get_arguments():
     parser = argparse.ArgumentParser()
     add_arguments(parser, dgl=True)
+    parser.add_argument("--export_path", default=None, type=str,
+                        help="also write an AOT serving artifact "
+                             "(jax.export StableHLO, weights baked in)")
     return parser.parse_args()
 
 
@@ -32,7 +35,13 @@ def modal_main():
              else jnp.float32)
     model = AVClassifierDGL(config=cfg, dtype=dtype)
     test_set = make_dataset(cfg, "test")
-    return run_eval(cfg, model, test_set, cfg.ckpt_path, dgl=True)
+    result = run_eval(cfg, model, test_set, cfg.ckpt_path, dgl=True)
+    if args.export_path:
+        from gdl_tpu.serve import export_from_checkpoint
+
+        export_from_checkpoint(cfg, cfg.ckpt_path, args.export_path)
+        print("Serving artifact written to", args.export_path)
+    return result
 
 
 if __name__ == "__main__":
