@@ -29,6 +29,9 @@ ITERS = 20
 
 
 def main(_retry: bool = True):
+    from gdl_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()  # persistent XLA cache: repeat runs skip recompiles
     import jax
     import jax.numpy as jnp
 

@@ -278,6 +278,9 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         type=lambda s: s not in ("0", "false", "False"))
     parser.add_argument("--use_pallas_attn", default=d.use_pallas_attn,
                         type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--compilation_cache_dir", default=None, type=str,
+                        help="persistent XLA compile cache; '' disables "
+                             "(default ~/.cache/gdl_tpu/xla)")
 
 
 def from_args(args: argparse.Namespace) -> Config:

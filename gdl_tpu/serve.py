@@ -59,12 +59,20 @@ def load_exported(path: str):
 
 def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
                            batch_size: Optional[int] = None,
-                           platforms: Optional[Sequence[str]] = None):
-    """Build the DGL classifier for `cfg`, load a checkpoint (ours or a
+                           platforms: Optional[Sequence[str]] = None,
+                           dgl: bool = True):
+    """Build the classifier for `cfg` (DGL family by default; dgl=False
+    selects the joint main.py family), load a checkpoint (ours or a
     reference torch .pth), and write the serving artifact. The exported
     callable takes (audio [B,F,T,1] f32, visual [B,T,H,W,3] f32) shaped
-    by the dataset config and returns the (out, out_a, out_v) logits."""
-    from gdl_tpu.models.classifier import AVClassifierDGL, AVClassifierSwinDGL
+    by the dataset config and returns the model's eval outputs (the
+    (out, out_a, out_v) logits for DGL; the 11-tuple for joint)."""
+    from gdl_tpu.models.classifier import (
+        AVClassifier,
+        AVClassifierDGL,
+        AVClassifierSwin,
+        AVClassifierSwinDGL,
+    )
     from gdl_tpu.train.dgl import create_train_state
     from gdl_tpu.train.optim import make_optimizer
     from gdl_tpu.utils.checkpoint import (
@@ -79,7 +87,11 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
 
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
-    cls = AVClassifierSwinDGL if cfg.backbone == "swin" else AVClassifierDGL
+    if dgl:
+        cls = (AVClassifierSwinDGL if cfg.backbone == "swin"
+               else AVClassifierDGL)
+    else:
+        cls = AVClassifierSwin if cfg.backbone == "swin" else AVClassifier
     model = cls(config=cfg, dtype=dtype)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                make_optimizer(cfg, 1))

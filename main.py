@@ -29,6 +29,8 @@ def get_arguments():
 def main():
     maybe_initialize()  # multi-host: no-op unless a coordinator is set
     args = get_arguments()
+    from gdl_tpu.utils.compilation_cache import enable as _cc
+    _cc(getattr(args, 'compilation_cache_dir', None))
     cfg = from_args(args)
     print(cfg)
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"

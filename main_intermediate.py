@@ -84,6 +84,8 @@ def make_sefusion_step(model, cfg, optimizer, base_rng):
 def main():
     maybe_initialize()
     args = get_arguments()
+    from gdl_tpu.utils.compilation_cache import enable as _cc
+    _cc(getattr(args, 'compilation_cache_dir', None))
     cfg = from_args(args)
     cfg.fps = 1  # the AV adapter squeezes a single frame
     print(cfg, "model:", args.model)
