@@ -154,10 +154,77 @@ def batch_norm(train: bool, dtype: Any = jnp.float32,
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC.
+
+    Plain reduce_window max; the backward is XLA's select-and-scatter.
+    A hand-written scatter-free backward (max_pool_3x3_s2_scatterfree
+    below) is a recorded NEGATIVE: 1779 vs 2646 clips/s on the flagship
+    DGL bs64 step — the 9 strided .at[].add scatters lower far worse on
+    TPU than the select-and-scatter they replace."""
     return nn.max_pool(
         x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
     )
+
+
+@jax.custom_vjp
+def max_pool_3x3_s2_scatterfree(x: jnp.ndarray) -> jnp.ndarray:
+    """max_pool_3x3_s2 with a custom backward: 9 offset-shifted
+    compare/select passes plus strided scatter-adds instead of XLA
+    select-and-scatter. Semantically IDENTICAL to the autodiff/torch rule
+    (gradient to the FIRST maximal element of each window in row-major
+    order, ties included — asserted in tests/test_ops.py). Kept as a
+    tested reference implementation; measured SLOWER on TPU (see
+    max_pool_3x3_s2's docstring), so not used by the models."""
+    return nn.max_pool(
+        x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+    )
+
+
+def _max_pool_fwd(x):
+    m = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    return m, x  # the max is recomputed in the backward (see below)
+
+
+def _max_pool_bwd(res, g):
+    x = res
+    # CRITICAL: barrier x so every backward view reads ONE materialized
+    # tensor. Without it XLA may duplicate x's elementwise producer chain
+    # (conv+BN+relu) into multiple fusions with different FMA contractions;
+    # the bitwise-different copies then fail the exact-equality max match
+    # and gradients get silently DROPPED (reproduced: conv1 grads off by
+    # O(10) under jit, exact eagerly). The max is also recomputed from the
+    # same nine views rather than reusing the forward's reduce_window
+    # output, for the same reason.
+    x = jax.lax.optimization_barrier(x)
+    b, h, w, c = x.shape
+    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).min, x.dtype)
+    # value view pad (-inf keeps out-of-bounds cells from matching the max)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    views = []
+    for di in range(3):
+        for dj in range(3):
+            views.append(jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + 2 * (ho - 1) + 1, dj + 2 * (wo - 1) + 1, c),
+                (1, 2, 2, 1)))
+    m = views[0]
+    for xv in views[1:]:
+        m = jnp.maximum(m, xv)
+    gp = jnp.zeros((b, h + 2, w + 2, c), g.dtype)
+    count = jnp.zeros(m.shape, jnp.int32)
+    for (di, dj), xv in zip(((i, j) for i in range(3) for j in range(3)),
+                            views):
+        eq = xv == m
+        take = jnp.logical_and(eq, count == 0)
+        count = count + eq.astype(jnp.int32)
+        gp = gp.at[:, di:di + 2 * ho:2, dj:dj + 2 * wo:2, :].add(
+            jnp.where(take, g, jnp.zeros((), g.dtype)))
+    return (gp[:, 1:h + 1, 1:w + 1, :],)
+
+
+max_pool_3x3_s2_scatterfree.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
 def global_avg_pool(x: jnp.ndarray, axes) -> jnp.ndarray:

@@ -111,3 +111,47 @@ def test_resize_matches_torch_bilinear():
         mode="bilinear", align_corners=False, antialias=False,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_max_pool_custom_bwd_matches_select_and_scatter():
+    """The custom maxpool backward (9 compare/scatter passes) against XLA's
+    select-and-scatter autodiff: identical placement on tie-heavy inputs,
+    eager AND under jit composed after an elementwise producer chain — the
+    jit case regressed once when XLA duplicated the producer into
+    differently-FMA'd fusions and the exact-equality match dropped
+    gradients (fixed with an optimization_barrier + in-backward max)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gdl_tpu.models.layers import max_pool_3x3_s2_scatterfree as max_pool_3x3_s2
+
+    def ref_pool(x):
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)])
+
+    rng = np.random.RandomState(11)
+    # integer-valued tie-heavy inputs: any placement error shows as O(1)
+    for shape in ((1, 9, 7, 2), (2, 16, 12, 4)):
+        x = jnp.asarray(
+            rng.randint(0, 3, size=shape).astype(np.float32))
+        g = jnp.asarray(rng.randint(1, 5, size=ref_pool(x).shape)
+                        .astype(np.float32))
+        ref = jax.vjp(ref_pool, x)[1](g)[0]
+        got = jax.vjp(max_pool_3x3_s2, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # jit-composed after a producer chain (the historical failure mode)
+    w = jnp.asarray(rng.randn(16).astype(np.float32))
+    x = jnp.asarray(rng.randn(4, 16, 12, 16).astype(np.float32))
+
+    def chain(pool):
+        def loss(w):
+            y = nn.relu(x * w + jnp.tanh(w))
+            return jnp.sum(jnp.sin(pool(y) * 3.0))
+        return loss
+
+    g1 = jax.jit(jax.grad(chain(max_pool_3x3_s2)))(w)
+    g2 = jax.jit(jax.grad(chain(ref_pool)))(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
