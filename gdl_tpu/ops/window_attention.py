@@ -13,13 +13,15 @@ the v5e numbers):
     padding); superseded by the packed kernels, kept for comparison.
   - `window_attention_pallas_packed` / `window_attention_pallas_qkv`:
     packed-head Pallas kernels — heads ride the 128-lane dim, the
-    block-diagonal expansion is VMEM-only, G windows per grid step.
-    1.56x over XLA at Swin-B stage-1 FORWARD in isolation; the
-    qkv-direct form is differentiable (flash-style backward kernel) and
-    is what --use_pallas_attn selects. End-to-end the per-site layout
-    conversions give the win back (train AND eval — RESULTS.md), so the
-    flag stays opt-in; the model-level win needs layouts kept packed
-    across blocks (future work).
+    block-diagonal expansion is VMEM-only, G windows per grid step. The
+    qkv-direct form is the TRAINING DEFAULT on TPU: it reads head groups
+    as 128-lane blocks of the projection's natural [B, N, 3, C] layout
+    (no transposes at any stage), saves the softmax as a bf16 forward
+    residual, and its backward kernel skips the score recompute —
+    combined with the model's window-resident stage layout this wins the
+    full dual-Swin-B train step (192.2 vs 171.1 clips/s, RESULTS.md).
+    Inference and off-TPU backends take the XLA path (the pure forward
+    is faster there and the p residual would be dead weight).
 
 Inputs:
   q, k, v: [B, H, N, D]   (B = batch·windows, H heads, N tokens, D head dim)
