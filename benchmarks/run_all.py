@@ -17,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True):
+def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True,
+                 dataset: str = "CREMAD", fps: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -28,8 +29,8 @@ def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True):
     from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
     from gdl_tpu.train.optim import make_optimizer
 
-    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
-                 fps=1, batch_size=batch_size, compute_dtype="bfloat16",
+    cfg = Config(dataset=dataset, fusion_method="concat", modality="full",
+                 fps=fps, batch_size=batch_size, compute_dtype="bfloat16",
                  log_grad_csv=False)
     model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
     opt = make_optimizer(cfg, 104)
@@ -179,6 +180,8 @@ CONFIGS = {
     "resnet_bs64": lambda it: bench_resnet(64, it),
     "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
     "resnet_bs256": lambda it: bench_resnet(256, max(it // 2, 5)),
+    "ks_bs64": lambda it: bench_resnet(64, it, dataset="KineticSound",
+                                       fps=3),
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
