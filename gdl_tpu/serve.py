@@ -59,14 +59,16 @@ def load_exported(path: str):
 
 def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
                            batch_size: Optional[int] = None,
-                           platforms: Optional[Sequence[str]] = None,
+                           platforms: Sequence[str] = ("cpu", "tpu"),
                            dgl: bool = True):
     """Build the classifier for `cfg` (DGL family by default; dgl=False
     selects the joint main.py family), load a checkpoint (ours or a
     reference torch .pth), and write the serving artifact. The exported
     callable takes (audio [B,F,T,1] f32, visual [B,T,H,W,3] f32) shaped
     by the dataset config and returns the model's eval outputs (the
-    (out, out_a, out_v) logits for DGL; the 11-tuple for joint)."""
+    (out, out_a, out_v) logits for DGL; the 11-tuple for joint). By
+    default the artifact is lowered for BOTH cpu and tpu, so one file
+    serves on either platform."""
     from gdl_tpu.models.classifier import (
         AVClassifier,
         AVClassifierDGL,

@@ -91,3 +91,22 @@ def test_export_from_checkpoint_end_to_end(tmp_path):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_multi_platform_export(tmp_path):
+    """One artifact lowered for BOTH cpu and tpu (the
+    export_from_checkpoint default) — replayable on the CPU backend here,
+    carrying a tpu lowering for serving there."""
+    from gdl_tpu.serve import export_eval
+
+    model, variables, audio, visual = _tiny_model_and_vars()
+    exported = export_eval(model, variables, (audio, visual),
+                           platforms=("cpu", "tpu"))
+    assert set(exported.platforms) == {"cpu", "tpu"}
+    path = os.path.join(tmp_path, "model_multi.hlo")
+    save_exported(exported, path)
+    got = load_exported(path).call(audio, visual)
+    ref = model.apply(variables, audio, visual, train=False)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
