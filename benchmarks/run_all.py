@@ -188,6 +188,8 @@ CONFIGS = {
     "swin_dgl_bs16": lambda it: bench_swin_dgl(16, max(it // 2, 5)),
     "swin_bs32_pallas": lambda it: bench_swin(32, max(it // 2, 5),
                                               pallas=True),
+    "swin_bs64_pallas": lambda it: bench_swin(64, max(it // 4, 5),
+                                              pallas=True),
     "swin_dgl_bs16_xla": lambda it: bench_swin_dgl(16, max(it // 2, 5),
                                                    pallas=False),
     "swin_eval_bs16": lambda it: bench_swin_eval(16, it),
