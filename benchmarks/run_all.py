@@ -128,6 +128,66 @@ def bench_swin_dgl(batch_size: int, iters: int, pallas: bool = True):
     return batch_size * iters / dt, dt / iters * 1e3
 
 
+def bench_intermediate(model_name: str, batch_size: int, iters: int):
+    """Intermediate-fusion family (MMTM / SE-fusion / mmformer) train
+    step — the main_intermediate.py path on synthetic CREMA-D shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.train.auxi import make_auxi_train_step
+    from gdl_tpu.train.dgl import TrainState
+    from gdl_tpu.train.optim import make_optimizer
+    from main_intermediate import build_model, make_sefusion_step
+
+    cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
+                 compute_dtype="bfloat16", log_grad_csv=False)
+    model, kind = build_model(model_name, cfg.n_classes, 64)
+    opt = make_optimizer(cfg, 100)
+    rng = jax.random.PRNGKey(0)
+    f, t = cfg.spec_shape
+    variables = model.init({"params": rng, "drop": rng, "dropout": rng,
+                            "pe": rng},
+                           jnp.zeros((2, f, t, 1)),
+                           jnp.zeros((2, 1, 224, 224, 3)),
+                           train=False, av_inputs=True)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt.init(variables["params"]))
+    if kind == "single":
+        raw = make_sefusion_step(model, cfg, opt, rng)
+    else:
+        raw = make_auxi_train_step(model, cfg, opt,
+                                   seven_tuple=kind == "seven",
+                                   base_rng=rng, av_inputs=True)
+    r = jax.random.PRNGKey(1)
+    batch = {"audio": jax.random.normal(r, (batch_size, f, t, 1)),
+             "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
+             "label": jnp.zeros((batch_size,), jnp.int32)}
+
+    # chain `iters` steps INSIDE one jit (state is the carry) and force
+    # with a host transfer — per-call loops through the tunnel reported
+    # 1.17 ms/step for MMTM (impossible; dispatch pipelining)
+    @jax.jit
+    def many(state):
+        def body(_, s):
+            s2, _ = raw(s, batch)
+            return s2
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    final = many(state)
+    float(jax.tree.leaves(final.params)[0].reshape(-1)[0])  # compile+warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        final = many(state)
+        float(jax.tree.leaves(final.params)[0].reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return batch_size / dt, dt * 1e3
+
+
 def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
     """Forward-only (serving/eval) dual-Swin throughput."""
     import jax
@@ -182,6 +242,9 @@ CONFIGS = {
     "resnet_bs256": lambda it: bench_resnet(256, max(it // 2, 5)),
     "ks_bs64": lambda it: bench_resnet(64, it, dataset="KineticSound",
                                        fps=3),
+    "mmtm_bs64": lambda it: bench_intermediate("mmtm", 64, it),
+    "sefusion_bs64": lambda it: bench_intermediate("sefusion", 64, it),
+    "mmformer_bs64": lambda it: bench_intermediate("mmformer_n", 64, it),
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
