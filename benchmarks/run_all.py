@@ -142,7 +142,8 @@ def bench_intermediate(model_name: str, batch_size: int, iters: int):
 
     cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
                  compute_dtype="bfloat16", log_grad_csv=False)
-    model, kind = build_model(model_name, cfg.n_classes, 64)
+    model, kind = build_model(model_name, cfg.n_classes, 64,
+                              dtype=jnp.bfloat16)
     opt = make_optimizer(cfg, 100)
     rng = jax.random.PRNGKey(0)
     f, t = cfg.spec_shape

@@ -47,12 +47,16 @@ def get_arguments():
     return parser.parse_args()
 
 
-def build_model(name: str, n_classes: int, width: int = 64):
+def build_model(name: str, n_classes: int, width: int = 64,
+                dtype=jnp.float32):
     if name == "mmtm":
-        return MMTMNet(num_classes=n_classes, width=width), "triple"
+        return MMTMNet(num_classes=n_classes, width=width,
+                       dtype=dtype), "triple"
     if name == "sefusion":
-        return SEFusionNet(num_classes=n_classes, width=width), "single"
-    return MMFormerN(num_classes=n_classes, width=width), "seven"
+        return SEFusionNet(num_classes=n_classes, width=width,
+                           dtype=dtype), "single"
+    return MMFormerN(num_classes=n_classes, width=width,
+                     dtype=dtype), "seven"
 
 
 def make_sefusion_step(model, cfg, optimizer, base_rng):
@@ -91,8 +95,10 @@ def main():
     print(cfg, "model:", args.model)
 
     rng = setup_seed(cfg.random_seed)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
     model, kind = build_model(args.model, cfg.n_classes,
-                              cfg.encoder_width)
+                              cfg.encoder_width, dtype=dtype)
     train_set = make_dataset(cfg, "train")
     test_set = make_dataset(cfg, "test")
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
