@@ -250,6 +250,7 @@ CONFIGS = {
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
     "swin_dgl_bs16": lambda it: bench_swin_dgl(16, max(it // 2, 5)),
+    "swin_dgl_bs32": lambda it: bench_swin_dgl(32, max(it // 2, 5)),
     "swin_bs32_pallas": lambda it: bench_swin(32, max(it // 2, 5),
                                               pallas=True),
     "swin_bs64_pallas": lambda it: bench_swin(64, max(it // 4, 5),
