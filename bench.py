@@ -16,12 +16,19 @@ main_dgl.py on its README hardware (single CUDA-11.1-era GPU, PyTorch
 minus the per-step per-parameter .item() grad probes and CSV append that
 sync the device every step (main_dgl.py:132-152) → ~300 clips/s. Replace
 with a measured number when reference hardware is available.
+
+A MEASURED floor does exist: the reference's exact training-loop
+semantics at full width on this host's torch-CPU (1 thread) run at
+3.71 clips/s (benchmarks/torch_cpu_baseline.py — 4.31 s/step at bs16,
+22.4 M params). The GPU estimate sits between that floor and the TPU
+number; both anchors are reported in the JSON.
 """
 
 import json
 import time
 
 REFERENCE_CLIPS_PER_SEC = 300.0  # estimated; see module docstring
+TORCH_CPU_FLOOR_CLIPS_PER_SEC = 3.71  # measured; torch_cpu_baseline.py
 
 BATCH = 64
 WARMUP = 3
@@ -80,6 +87,9 @@ def main(_retry: bool = True):
         # the reference records no throughput anywhere (SURVEY §6)
         "baseline_kind": "estimate",
         "baseline_clips_per_sec": REFERENCE_CLIPS_PER_SEC,
+        "torch_cpu_floor_clips_per_sec": TORCH_CPU_FLOOR_CLIPS_PER_SEC,
+        "vs_torch_cpu_floor": round(
+            clips_per_sec / TORCH_CPU_FLOOR_CLIPS_PER_SEC, 1),
     }
     flops = _flops_per_step(train_step, state, batch)
     peak = _peak_flops(jax.devices()[0])
