@@ -761,6 +761,9 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
 
 def window_attention(q, k, v, bias, mask=None, scale=None,
                      use_pallas: bool = False):
+    """Convenience dispatcher over the [B, H, N, D] implementations (the
+    models use the qkv-direct / bnhd forms directly; this is the stable
+    entry point for external callers and notebooks)."""
     if use_pallas:
         return window_attention_pallas_packed(q, k, v, bias, mask, scale)
     return window_attention_xla(q, k, v, bias, mask, scale)
