@@ -258,8 +258,11 @@ CONFIGS = {
     "swin_dgl_bs16_xla": lambda it: bench_swin_dgl(16, max(it // 2, 5),
                                                    pallas=False),
     "swin_eval_bs16": lambda it: bench_swin_eval(16, it),
-    "swin_eval_bs16_pallas": lambda it: bench_swin_eval(16, it,
-                                                        pallas=True),
+    # Gate-verification run: WindowAttention only uses Pallas when
+    # train=True, so this compiles the SAME program as swin_eval_bs16 and
+    # must report the same number (verifies the eval path ignores the flag).
+    "swin_eval_bs16_pallas_gatecheck": lambda it: bench_swin_eval(
+        16, it, pallas=True),
 }
 
 

@@ -141,7 +141,7 @@ class Config:
     swin_patch: int = 4
     use_pallas_attn: bool = True  # Pallas fused window attention (packed
     # heads, softmax saved as a forward residual). With the window-resident
-    # layout this wins the full dual-Swin-B TRAIN step on v5e (185.4 vs
+    # layout this wins the full dual-Swin-B TRAIN step on v5e (192.2 vs
     # 171.1 clips/s, benchmarks/RESULTS.md). Models fall back to the XLA
     # attention automatically off-TPU (interpret-mode Pallas is only a
     # correctness path).

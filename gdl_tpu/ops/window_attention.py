@@ -229,7 +229,7 @@ def window_attention_pallas(q, k, v, bias,
 
 
 def _wa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                      g, d, n_valid, has_mask):
+                      g, d, has_mask):
     """One grid step: G windows of ONE head-group, packed layout.
 
     blocks: q/k/v/o [1, G, Np, gd]; bias [1, g*Np, Np]; mask [G, Np, Np].
@@ -321,7 +321,7 @@ def window_attention_pallas_packed(q, k, v, bias,
 
     grid = (hg, b // G)
     out = pl.pallas_call(
-        functools.partial(_wa_packed_kernel, g=g, d=d, n_valid=n,
+        functools.partial(_wa_packed_kernel, g=g, d=d,
                           has_mask=mask is not None),
         grid=grid,
         in_specs=[
@@ -349,7 +349,7 @@ def window_attention_pallas_packed(q, k, v, bias,
     return out.reshape(b, h, n, d)
 
 
-def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
+def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d,
                    has_mask, scale):
     """qkv-direct variant of _wa_packed_kernel: one block [G, Np, 3, gd]
     holding q/k/v for G windows of one head-group. The head-group axis is
@@ -385,7 +385,7 @@ def _wa_qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, g, d, n_valid,
 
 
 def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
-                       dqkv_ref, dbias_ref, *, g, d, n_valid, has_mask,
+                       dqkv_ref, dbias_ref, *, g, d, has_mask,
                        scale):
     """Backward of _wa_qkv_kernel, flash-style: recompute the softmax in
     VMEM, then dq/dk/dv via the same block-diagonal packing (every dot is
@@ -453,9 +453,9 @@ def _wa_qkv_bwd_kernel(qkv_ref, bias_ref, mask_ref, dout_ref,
 
 
 def _wa_qkv_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *, g, d,
-                         n_valid, has_mask, scale):
+                         has_mask, scale):
     """_wa_qkv_kernel that ALSO writes the softmax probabilities p as a
-    forward residual (bf16), so the backward kernel skips the score-matmul
+    forward residual (in the input dtype), so the backward kernel skips the score-matmul
     + softmax recompute entirely (the recorded round-2 lever: 'save p as a
     fwd residual', benchmarks/RESULTS.md)."""
     q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
@@ -567,18 +567,18 @@ def _qkv_specs(G, n_pad, g, gd, nw):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _qkv_attn_core(static, qkvp, bias_p, mask_p):
     """out_packed [HG, B, Np, gd] from packed inputs; static is the
-    hashable config tuple (g, d, n_valid, has_mask, scale, G)."""
+    hashable config tuple (g, d, has_mask, scale, G, nW)."""
     return _qkv_attn_fwd(static, qkvp, bias_p, mask_p)[0]
 
 
 def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
-    g, d, n_valid, has_mask, scale, G, nw = static
+    g, d, has_mask, scale, G, nw = static
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
     specs = _qkv_specs(G, n_pad, g, gd, nw)
     out = pl.pallas_call(
-        functools.partial(_wa_qkv_kernel, g=g, d=d, n_valid=n_valid,
+        functools.partial(_wa_qkv_kernel, g=g, d=d,
                           has_mask=has_mask, scale=scale),
         grid=(hg, b // G),
         in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
@@ -590,7 +590,7 @@ def _qkv_attn_fwd(static, qkvp, bias_p, mask_p):
 
 
 def _qkv_attn_bwd(static, res, dout):
-    g, d, n_valid, has_mask, scale, G, nw = static
+    g, d, has_mask, scale, G, nw = static
     qkvp, bias_p, mask_p = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
@@ -601,7 +601,7 @@ def _qkv_attn_bwd(static, res, dout):
     G = math.gcd(G, 16)
     specs = _qkv_specs(G, n_pad, g, gd, nw)
     dqkvp, dbias_p = pl.pallas_call(
-        functools.partial(_wa_qkv_bwd_kernel, g=g, d=d, n_valid=n_valid,
+        functools.partial(_wa_qkv_bwd_kernel, g=g, d=d,
                           has_mask=has_mask, scale=scale),
         grid=(hg, b // G),
         in_specs=[specs["qkv"], specs["bias"], specs["mask"], specs["out"]],
@@ -629,13 +629,13 @@ def _qkv_attn_core_savep(static, qkvp, bias_p, mask_p):
 
 
 def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
-    g, d, n_valid, has_mask, scale, G, nw = static
+    g, d, has_mask, scale, G, nw = static
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
     specs = _qkv_specs(G, n_pad, g, gd, nw)
     out, p = pl.pallas_call(
-        functools.partial(_wa_qkv_savep_kernel, g=g, d=d, n_valid=n_valid,
+        functools.partial(_wa_qkv_savep_kernel, g=g, d=d,
                           has_mask=has_mask, scale=scale),
         grid=(hg, b // G),
         in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
@@ -655,7 +655,7 @@ def _qkv_attn_savep_fwd(static, qkvp, bias_p, mask_p):
 
 
 def _qkv_attn_savep_bwd(static, res, dout):
-    g, d, n_valid, has_mask, scale, G, nw = static
+    g, d, has_mask, scale, G, nw = static
     qkvp, p, bias_p, mask_p = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
@@ -702,7 +702,8 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     a 128-lane block — the only host-side data movement is the N->Np pad.
     Differentiable: the backward pass is a second Pallas
     kernel: with `save_p` (default) the forward stores the softmax
-    probabilities as a bf16 residual and the backward skips the score
+    probabilities as a residual (saved in the input dtype — bf16
+    under bf16 training) and the backward skips the score
     recompute (_wa_qkv_bwd_p_kernel); save_p=False selects the flash-style
     recompute backward (_wa_qkv_bwd_kernel)."""
     b, n, three, c = qkv.shape
@@ -753,7 +754,7 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     else:
         mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
 
-    static = (g, d, n, mask is not None, scale, G, nw)
+    static = (g, d, mask is not None, scale, G, nw)
     core = _qkv_attn_core_savep if save_p else _qkv_attn_core
     out = core(static, qkvp, bias_p, mask_p)  # [B, Np, C]
     return out[:, :n]
