@@ -43,16 +43,18 @@ class TorchBlock(tnn.Module):
 
 class TorchRefResNet(tnn.Module):
     """Reference naming: layer1..layer4 Sequentials of BasicBlocks
-    (backbone.py:107-113)."""
+    (backbone.py:107-113). width/stages default to the tiny test model;
+    the full-width parity tests pass the flagship (64, (2, 2, 2, 2))."""
 
-    def __init__(self, in_ch):
+    def __init__(self, in_ch, width=WIDTH, stages=STAGES):
         super().__init__()
-        self.conv1 = tnn.Conv2d(in_ch, WIDTH, 7, 2, 3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(WIDTH)
+        self.stages = stages
+        self.conv1 = tnn.Conv2d(in_ch, width, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
         self.maxpool = tnn.MaxPool2d(3, 2, 1)
-        cin = WIDTH
-        for s, n in enumerate(STAGES):
-            cout = WIDTH * (2 ** s)
+        cin = width
+        for s, n in enumerate(stages):
+            cout = width * (2 ** s)
             blocks = []
             for b in range(n):
                 blocks.append(TorchBlock(cin, cout,
@@ -62,7 +64,7 @@ class TorchRefResNet(tnn.Module):
 
     def forward(self, x):
         x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
-        for s in range(len(STAGES)):
+        for s in range(len(self.stages)):
             x = getattr(self, f"layer{s + 1}")(x)
         return x
 
@@ -70,10 +72,10 @@ class TorchRefResNet(tnn.Module):
 class TorchConcatDGL(tnn.Module):
     """fusion_modules.py:45-59: shared fc_out + dead fc_auxi."""
 
-    def __init__(self):
+    def __init__(self, dim=DIM, n_classes=N_CLASSES):
         super().__init__()
-        self.fc_out = tnn.Linear(2 * DIM, N_CLASSES)
-        self.fc_auxi = tnn.Linear(2 * DIM, N_CLASSES)
+        self.fc_out = tnn.Linear(2 * dim, n_classes)
+        self.fc_auxi = tnn.Linear(2 * dim, n_classes)
 
     def forward(self, x, y):
         out = self.fc_out(torch.cat((x, y), dim=1).detach())
@@ -83,11 +85,12 @@ class TorchConcatDGL(tnn.Module):
 
 
 class TorchAVClassifierDGL(tnn.Module):
-    def __init__(self):
+    def __init__(self, width=WIDTH, stages=STAGES, n_classes=N_CLASSES):
         super().__init__()
-        self.fusion_module = TorchConcatDGL()
-        self.audio_net = TorchRefResNet(1)
-        self.visual_net = TorchRefResNet(3)
+        dim = width * 8
+        self.fusion_module = TorchConcatDGL(dim, n_classes)
+        self.audio_net = TorchRefResNet(1, width, stages)
+        self.visual_net = TorchRefResNet(3, width, stages)
 
     def forward(self, spec, image):
         a = self.audio_net(spec)

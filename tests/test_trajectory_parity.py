@@ -30,10 +30,10 @@ STEPS = 4
 BATCH = 4
 
 
-def _reference_torch_loop(model, batches):
+def _reference_torch_loop(model, batches, lr=LR, clip=40.0):
     """main_dgl.py:69-154, verbatim semantics."""
     criterion = tnn.CrossEntropyLoss()
-    opt = torch.optim.SGD(model.parameters(), lr=LR, momentum=0.9,
+    opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
                           weight_decay=1e-4)
     losses = []
     model.train()
@@ -52,14 +52,14 @@ def _reference_torch_loop(model, batches):
             if "fusion" in name.split(".")[0]:
                 p.grad = None
         loss_f.backward()
-        tnn.utils.clip_grad_norm_(model.parameters(), max_norm=40,
+        tnn.utils.clip_grad_norm_(model.parameters(), max_norm=clip,
                                   norm_type=2)
         opt.step()
         losses.append((float(loss_a), float(loss_v), float(loss_f)))
     return losses
 
 
-def _our_loop(variables, batches, cfg):
+def _our_loop(variables, batches, cfg, jit=True, clip=40.0):
     import jax
     import jax.numpy as jnp
 
@@ -68,13 +68,15 @@ def _our_loop(variables, batches, cfg):
     from gdl_tpu.train.optim import dead_fusion_param_mask, make_optimizer
 
     model = AVClassifierDGL(config=cfg)
-    optimizer = make_optimizer(cfg, steps_per_epoch=10 ** 6,
+    optimizer = make_optimizer(cfg, steps_per_epoch=10 ** 6, clip_norm=clip,
                                wd_mask=dead_fusion_param_mask(cfg, True))
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        batch_stats=variables["batch_stats"],
                        opt_state=optimizer.init(variables["params"]))
-    step_fn = jax.jit(make_dgl_train_step(model, cfg, optimizer))
+    step_fn = make_dgl_train_step(model, cfg, optimizer, clip_norm=clip)
+    if jit:  # full-width callers run eagerly (1-core jit compile is minutes)
+        step_fn = jax.jit(step_fn)
     losses = []
     for spec, image, label in batches:
         batch = {"audio": jnp.asarray(spec.transpose(0, 2, 3, 1)),
@@ -86,19 +88,20 @@ def _our_loop(variables, batches, cfg):
     return losses, state
 
 
-def test_dgl_update_trajectory_matches_reference_loop():
+def _tiny_parity_run(steps, lr=LR, clip=40.0):
+    """Shared harness: identical weights, identical data, `steps` steps of
+    both loops at tiny width. Returns everything the asserts need."""
     import jax
+    import jax.numpy as jnp
 
     from gdl_tpu.models.classifier import AVClassifierDGL
     from gdl_tpu.utils.torch_interop import flax_to_torch_state_dict
 
     cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
                  modulation="Normal", fps=2, batch_size=BATCH, alpha=ALPHA,
-                 learning_rate=LR, optimizer="sgd", lr_decay_step=[10 ** 6],
+                 learning_rate=lr, optimizer="sgd", lr_decay_step=[10 ** 6],
                  encoder_width=WIDTH, encoder_stages=list(STAGES),
                  log_grad_csv=False)
-    import jax.numpy as jnp
-
     model = AVClassifierDGL(config=cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((2, 32, 24, 1)),
@@ -113,14 +116,21 @@ def test_dgl_update_trajectory_matches_reference_loop():
 
     rng = np.random.default_rng(42)
     batches = []
-    for _ in range(STEPS):
+    for _ in range(steps):
         spec = rng.standard_normal((BATCH, 1, 32, 24)).astype(np.float32)
         image = rng.standard_normal((BATCH, 3, 2, 32, 32)).astype(np.float32)
         label = rng.integers(0, N_CLASSES, BATCH).astype(np.int64)
         batches.append((spec, image, label))
 
-    ref_losses = _reference_torch_loop(tmodel, batches)
-    our_losses, final_state = _our_loop(variables, batches, cfg)
+    ref_losses = _reference_torch_loop(tmodel, batches, lr=lr, clip=clip)
+    our_losses, final_state = _our_loop(variables, batches, cfg, clip=clip)
+    return ref_losses, our_losses, tmodel, final_state
+
+
+def test_dgl_update_trajectory_matches_reference_loop():
+    from gdl_tpu.utils.torch_interop import flax_to_torch_state_dict
+
+    ref_losses, our_losses, tmodel, final_state = _tiny_parity_run(STEPS)
 
     # per-step losses track (divergence compounds; tolerance grows)
     for k, (r, o) in enumerate(zip(ref_losses, our_losses)):
@@ -159,6 +169,44 @@ def test_dgl_update_trajectory_matches_reference_loop():
         if k.endswith("running_mean"):
             np.testing.assert_allclose(v, theirs[k], rtol=1e-3, atol=1e-4,
                                        err_msg=k)
+
+
+def test_dgl_trajectory_25_steps():
+    """Long-horizon update-rule parity (VERDICT round-2 item 1): 25 steps
+    of the same two loops. Run at lr=1e-4 with the clip threshold lifted on
+    BOTH sides (torch max_norm and the optax in-chain clip): with the clip
+    ACTIVE the 40/||g|| rescale amplifies fp32 ordering noise
+    multiplicatively (measured: rel loss dev 0.1+ by step 8 at lr=1e-3) and
+    25-step tracking is chaotic, not semantic. Clip-active semantics are
+    covered by the tight 4-step test above; this one gives momentum /
+    weight-decay / schedule errors 25 steps to accumulate above the noise
+    floor. Measured deviation (PARITY.md): loss 1.9e-2 at step 24, worst
+    param |Δ| 0.017; tolerances hold 2-8x headroom over that."""
+    steps = 25
+    ref_losses, our_losses, tmodel, final_state = _tiny_parity_run(
+        steps, lr=1e-4, clip=1e6)
+
+    for k, (r, o) in enumerate(zip(ref_losses, our_losses)):
+        tol = 2e-4 * 3.0 ** (k / 4.0)  # fp32 chaos compounding envelope
+        np.testing.assert_allclose(o, r, rtol=tol, atol=tol,
+                                   err_msg=f"step {k}")
+
+    from gdl_tpu.utils.torch_interop import flax_to_torch_state_dict
+
+    ours = flax_to_torch_state_dict(final_state.params,
+                                    final_state.batch_stats, prefix="")
+    theirs = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    worst = 0.0
+    for k, v in ours.items():
+        if k.endswith(("running_mean", "running_var",
+                       "num_batches_tracked")):
+            continue
+        worst = max(worst, float(np.max(np.abs(v - theirs[k]))))
+    assert worst < 0.05, f"param divergence {worst} after {steps} steps"
+    # the dead fc_auxi stays bit-frozen over the long horizon too
+    np.testing.assert_allclose(
+        ours["fusion_module.fc_auxi.weight"],
+        theirs["fusion_module.fc_auxi.weight"], rtol=0, atol=1e-7)
 
 
 def test_momentum_and_weight_decay_live():
