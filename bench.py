@@ -1,13 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: CREMA-D DGL training throughput on one TPU chip.
 
-Measures the flagship configuration (cramed_dgl.sh:8): dual ResNet-18 +
-ConcatFusion_DGL, DGL loss, SGD, global batch 64, fps=1 — the FULL jitted
-step including on-device preprocessing (raw waveform → STFT → log-mag;
-uint8 frames → RandomResizedCrop → flip → normalize), in bfloat16 compute.
+Primary metric (the driver-facing headline): the flagship configuration
+(cramed_dgl.sh:8) — dual ResNet-18 + ConcatFusion_DGL, DGL loss, SGD,
+global batch 64, fps=1 — the FULL jitted step including on-device
+preprocessing (raw waveform → STFT → log-mag; uint8 frames →
+RandomResizedCrop → flip → normalize), in bfloat16 compute.
+
+The ONE printed JSON line also carries the measured ceiling anchors
+(VERDICT round-2 item 6): `bs256_clips_per_sec`/`bs256_mfu` (batch 256 is
+the chip's throughput sweet spot — ~38% MFU vs 27% at bs64; bs64 stays the
+headline because it is the reference script's batch size) and
+`swin_clips_per_sec`/`swin_mfu` (dual Swin-B joint step, bs32 — the swin
+sweet spot; bs64 regresses, benchmarks/RESULTS.md). Secondary measurements
+are skipped gracefully if the tunnel is slow (soft deadline) so the
+primary metric always lands.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": clips/s, "unit": "clips/s", "vs_baseline": x}
+  {"metric": ..., "value": clips/s, "unit": "clips/s", "vs_baseline": x, ...}
 
 vs_baseline anchor: the reference records no throughput anywhere (SURVEY
 §6); REFERENCE_CLIPS_PER_SEC below is an engineering estimate of
@@ -34,6 +44,12 @@ BATCH = 64
 WARMUP = 3
 ITERS = 20
 
+# soft deadlines (seconds since bench start) for STARTING each secondary
+# measurement — a cold compile through the tunnel is 3-6 min, so these
+# only fire when the persistent XLA cache is warm or the tunnel is fast.
+BS256_DEADLINE_S = 900.0
+SWIN_DEADLINE_S = 1500.0
+
 
 def make_result(clips_per_sec: float) -> dict:
     """The driver-facing JSON record (schema-tested in
@@ -54,10 +70,9 @@ def make_result(clips_per_sec: float) -> dict:
     }
 
 
-def main(_retry: bool = True):
-    from gdl_tpu.utils.compilation_cache import enable as _enable_cache
-
-    _enable_cache()  # persistent XLA cache: repeat runs skip recompiles
+def _measure_dgl(batch_size: int, iters: int):
+    """Flagship DGL train step (preproc included) at `batch_size`; returns
+    (clips_per_sec, mfu_or_None)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,11 +84,12 @@ def main(_retry: bool = True):
     from gdl_tpu.train.optim import make_optimizer
 
     cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
-                 fps=1, batch_size=BATCH, learning_rate=2e-3, alpha=5.0,
+                 fps=1, batch_size=batch_size, learning_rate=2e-3, alpha=5.0,
                  modulation="Normal", compute_dtype="bfloat16",
                  log_grad_csv=False)
     model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
-    optimizer = make_optimizer(cfg, steps_per_epoch=104)  # 6698 // 64
+    optimizer = make_optimizer(cfg, steps_per_epoch=max(6698 // batch_size,
+                                                        1))
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, cfg, rng, optimizer)
 
@@ -84,28 +100,101 @@ def main(_retry: bool = True):
         donate_argnums=(0,))
 
     batch = {k: jnp.asarray(v) for k, v in
-             synthetic_batch(cfg, BATCH, seed=1).items()}
+             synthetic_batch(cfg, batch_size, seed=1).items()}
 
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    clips_per_sec = BATCH * ITERS / dt
-    out = make_result(clips_per_sec)
+    clips = batch_size * iters / dt
     flops = _flops_per_step(train_step, state, batch)
     peak = _peak_flops(jax.devices()[0])
-    if flops:
-        out["model_flops_per_step"] = round(flops)
-        out["model_tflops_per_sec"] = round(flops * ITERS / dt / 1e12, 2)
-        if peak:
-            out["mfu"] = round(flops * ITERS / dt / peak, 4)
+    mfu = (flops * iters / dt / peak) if (flops and peak) else None
+    return clips, mfu, flops
+
+
+def _measure_swin(batch_size: int = 32, iters: int = 10):
+    """Dual Swin-B joint train step (bf16, Pallas window attention) —
+    the swin-path anchor; returns (clips_per_sec, mfu_or_None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.classifier import AVClassifierSwin
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.joint import make_joint_train_step
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
+                 alpha=1.0, batch_size=batch_size,
+                 compute_dtype="bfloat16", modulation="Normal",
+                 log_grad_csv=False, fps=1)
+    model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 100, clip_norm=None)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               spec_shape=(224, 224), frames=1)
+    r = jax.random.PRNGKey(1)
+    batch = {"audio": jax.random.normal(r, (batch_size, 224, 224, 1)),
+             "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
+             "label": jnp.zeros((batch_size,), jnp.int32)}
+    step = jax.jit(make_joint_train_step(model, cfg, opt, 100),
+                   donate_argnums=(0,))
+    for _ in range(WARMUP):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    clips = batch_size * iters / dt
+    flops = _flops_per_step(step, state, batch)
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops * iters / dt / peak) if (flops and peak) else None
+    return clips, mfu
+
+
+def main(_retry: bool = True):
+    from gdl_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()  # persistent XLA cache: repeat runs skip recompiles
+    import jax
+
+    t_start = time.perf_counter()
+    clips64, mfu64, flops64 = _measure_dgl(BATCH, ITERS)
+    out = make_result(clips64)
+    if flops64:
+        peak = _peak_flops(jax.devices()[0])
+        out["model_flops_per_step"] = round(flops64)
+        if mfu64:
+            out["mfu"] = round(mfu64, 4)
             out["peak_flops_assumed"] = peak
+
+    # measured-ceiling anchors (VERDICT r2 item 6) under soft deadlines —
+    # the primary metric above always lands even if these are skipped
+    if time.perf_counter() - t_start < BS256_DEADLINE_S:
+        try:
+            clips256, mfu256, _ = _measure_dgl(256, 10)
+            out["bs256_clips_per_sec"] = round(clips256, 2)
+            if mfu256:
+                out["bs256_mfu"] = round(mfu256, 4)
+        except Exception:
+            pass
+    if time.perf_counter() - t_start < SWIN_DEADLINE_S:
+        try:
+            swin_clips, swin_mfu = _measure_swin(32, 10)
+            out["swin_clips_per_sec"] = round(swin_clips, 2)
+            out["swin_batch_size"] = 32
+            if swin_mfu:
+                out["swin_mfu"] = round(swin_mfu, 4)
+        except Exception:
+            pass
     print(json.dumps(out))
 
 
