@@ -84,6 +84,16 @@ class Loader:
         labels = np.asarray([s[2] for s in samples], np.int32)
         return {"wave": waves, "frames": frames, "label": labels}
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle/augmentation epoch for RESUMED runs: the next
+        __iter__ behaves as 0-indexed training epoch `epoch`. Without this
+        a fresh Loader restarts its internal counter at 0, so a resumed
+        epoch k would replay epoch 0's shuffle order and augmentation
+        draws — continuous-vs-resumed runs then differ (caught by
+        tests/test_end_to_end.py::test_resume_equivalence_flagship_width).
+        """
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
         if hasattr(self.dataset, "set_epoch"):

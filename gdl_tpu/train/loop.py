@@ -292,6 +292,9 @@ def run_training(cfg: Config, model, train_set, test_set,
     best_acc = 0.0
     for epoch in range(h.start_epoch, cfg.epochs):
         print("Epoch: {}: ".format(epoch))
+        # resumed runs must replay epoch `epoch`'s shuffle order and
+        # augmentation draws, not restart the loader's counter at 0
+        train_loader.set_epoch(epoch)
         means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv)
         acc, acc_a, acc_v = evaluate(h, test_loader)
         if acc_csv is not None:
