@@ -103,6 +103,13 @@ class Config:
     dp: int = -1  # data-parallel mesh size; -1 = all devices
     mp: int = 1  # model-parallel mesh size (fusion/classifier dense kernels)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    fast_dropout_rng: bool = True  # re-key the stochastic streams
+    # (dropout / droppath / modality-drop / PE eps) as an 'rbg' PRNG:
+    # mask and noise bits then lower to XLA's fused RngBitGenerator
+    # instead of per-element threefry fusions (measured win on the
+    # mmformer step, benchmarks/RESULTS.md). Draw DISTRIBUTIONS are
+    # unchanged; the stream differs from threefry, as it already differs
+    # from the reference's torch RNG. 0 restores threefry everywhere.
     sync_bn: bool = True  # global-batch BN stats (XLA collective) — the
     # better default at small per-chip batch. --sync_bn 0 selects
     # per-replica (DataParallel-semantics) BN via GroupedBatchNorm: each
@@ -245,6 +252,8 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--dp", default=d.dp, type=int)
     parser.add_argument("--mp", default=d.mp, type=int)
     parser.add_argument("--compute_dtype", default=d.compute_dtype, type=str)
+    parser.add_argument("--fast_dropout_rng", default=int(d.fast_dropout_rng),
+                        type=int)
     parser.add_argument("--sync_bn", default=d.sync_bn,
                         type=lambda s: s not in ("0", "false", "False"))
     parser.add_argument("--strict_compat", action="store_true")

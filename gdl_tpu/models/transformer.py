@@ -36,12 +36,18 @@ def gelu_tanh(x):
 
 
 class SelfAttention(nn.Module):
-    """Transformer.py:17-51: qkv (no bias), scaled dot-product, proj."""
+    """Transformer.py:17-51: qkv (no bias), scaled dot-product, proj.
+
+    On TPU at train time the scaled-dot-product + softmax + attention-prob
+    dropout runs as the fused Pallas kernel (ops/self_attention.py — the
+    mmformer round-3 perf lever); eval and CPU use the XLA path below
+    (pure forward is faster un-fused, matching the WindowAttention gate)."""
 
     dim: int
     heads: int = 8
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,17 +55,31 @@ class SelfAttention(nn.Module):
         head_dim = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, head_dim).transpose(
-            2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * head_dim ** -0.5, axis=-1)
-        attn = nn.Dropout(self.dropout_rate, deterministic=not train)(
-            attn.astype(x.dtype))
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        use_kernel = (self.use_pallas and train
+                      and jax.default_backend() == "tpu"
+                      and head_dim <= 128 and 128 % head_dim == 0)
+        if use_kernel:
+            from gdl_tpu.ops.self_attention import self_attention_qkv
+
+            rng = (self.make_rng("dropout")
+                   if self.dropout_rate > 0.0 else None)
+            out = self_attention_qkv(
+                qkv.reshape(b, n, 3, self.dim), self.heads,
+                scale=head_dim ** -0.5, dropout_rate=self.dropout_rate,
+                dropout_rng=rng, train=True)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.heads, head_dim).transpose(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn * head_dim ** -0.5, axis=-1)
+            attn = nn.Dropout(self.dropout_rate,
+                              deterministic=not train)(attn.astype(x.dtype))
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.dropout_rate, deterministic=not train)(out)
 

@@ -1,0 +1,281 @@
+"""Fused self-attention Pallas kernel for the mmformer transformer stack.
+
+The XLA lowering of `SelfAttention` (models/transformer.py — the reference
+lib's Transformer.py:17-51) materializes the [B, H, N, D] head split, a
+score-sized softmax, a score-sized dropout mask, and two head transposes
+per call — profiled at a third of the mmformer train step
+(benchmarks/RESULTS.md round 3). This kernel consumes the qkv projection
+output DIRECTLY in its natural [B, N, 3, C] layout (column order
+[3, H, dh], so each head-group's g*dh = 128 lanes are contiguous — the
+same lane-blocked addressing as ops/window_attention.py, no transpose in
+HBM), computes softmax(q k^T * scale) with attention-probability dropout
+FUSED, and returns [B, N, C].
+
+Dropout design: the {0, 1/(1-rate)} mask is generated OUTSIDE the kernel
+by one XLA RngBitGenerator op (cfg.fast_dropout_rng's 'rbg' keys make
+this a single fused op) in the kernel's packed layout, and the SAME array
+feeds the backward kernel as a residual — bitwise-deterministic backward,
+no in-kernel PRNG state, and the interpret-mode CPU fallback stays exact.
+
+Backward is a second Pallas kernel from the saved softmax residual
+(save-p, the round-2 window-attention lever): no score recompute; dv/dp
+ride the same block-diagonal packing so every dot contracts the full
+gd=128 MXU depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _blockmask(g: int, d: int, gd: int, dtype):
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    return (col_head == row_head).astype(dtype)  # [g, gd]
+
+
+def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, has_dropout):
+    """One grid step: G batch rows of ONE head-group.
+
+    blocks: qkv [G, Np, 3, gd]; mask [1, G, g*Np, Np] ({0, 1/(1-rate)},
+    present only when has_dropout); o [G, Np, gd]; p residual
+    [1, G, g*Np, Np] (PRE-dropout softmax)."""
+    if has_dropout:
+        mask_ref, o_ref, p_ref = refs
+    else:
+        o_ref, p_ref = refs
+    q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    G, np_, gd = q.shape
+    bm = _blockmask(g, d, gd, q.dtype)
+
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    # padded keys (columns >= n_valid) never receive weight
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p_ref[0] = p.astype(p_ref.dtype)
+    if has_dropout:
+        p = p * mask_ref[0].astype(jnp.float32)
+    out_full = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, has_dropout):
+    """Backward from the saved PRE-dropout softmax p + the same mask."""
+    if has_dropout:
+        mask_ref, dout_ref, dqkv_ref = refs
+    else:
+        dout_ref, dqkv_ref = refs
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    p = p_ref[0].astype(jnp.float32)  # [G, g*Np, Np]
+    dout = dout_ref[...]  # [G, Np, gd]
+    G, np_, gd = qs.shape
+    bm = _blockmask(g, d, gd, qs.dtype)
+
+    if has_dropout:
+        m = mask_ref[0].astype(jnp.float32)
+        p_d = p * m
+    else:
+        p_d = p
+
+    dout_bd = (dout[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    # dv[j, c@h] = sum_i p_d[(h,i), j] * dout_bd[(h,i), c]
+    dv = jax.lax.dot_general(
+        p_d.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np, gd]
+    # dp_d[(h,i), j] = dout_h[i] . v_h[j]; chain through the dropout mask
+    dp = jax.lax.dot_general(
+        dout_bd, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    if has_dropout:
+        dp = dp * m
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
+
+    dq_full = jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * bm[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    dk = jax.lax.dot_general(
+        ds.astype(qs.dtype), (qs[:, None, :, :] * bm[None, :, None, :]
+                              ).reshape(G, g * np_, gd),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np, gd]
+
+    dqkv_ref[:, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2, :] = dv.astype(dqkv_ref.dtype)
+
+
+def _specs(G, n_pad, g, gd):
+    return dict(
+        qkv=pl.BlockSpec((G, n_pad, 3, gd), lambda hi, i: (i, 0, 0, hi),
+                         memory_space=pltpu.VMEM),
+        score=pl.BlockSpec((1, G, g * n_pad, n_pad),
+                           lambda hi, i: (hi, i, 0, 0),
+                           memory_space=pltpu.VMEM),
+        out=pl.BlockSpec((G, n_pad, gd), lambda hi, i: (i, 0, hi),
+                         memory_space=pltpu.VMEM),
+    )
+
+
+def _pick_block(b: int, n_pad: int, g: int, backward: bool) -> int:
+    """Largest G dividing b whose score-sized VMEM live set stays well
+    under the 16 MB scoped-vmem limit. Live f32 score arrays: fwd holds
+    ~2 (s, p); bwd ~3 (p, dp, ds)."""
+    live = 3 if backward else 2
+    budget = 10 * 2 ** 20  # leave headroom for qkv/out blocks + spills
+    per_row = g * n_pad * n_pad * 4 * live
+    G = max(1, budget // per_row)
+    while b % G:
+        G -= 1
+    return G
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sa_core(static, qkvp, maskp):
+    return _sa_fwd(static, qkvp, maskp)[0]
+
+
+def _sa_fwd(static, qkvp, maskp):
+    g, d, n_valid, scale, has_dropout = static
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
+    G = _pick_block(b, n_pad, g, backward=False)
+    specs = _specs(G, n_pad, g, gd)
+    in_specs = [specs["qkv"]]
+    args = [qkvp]
+    if has_dropout:
+        in_specs.append(specs["score"])
+        args.append(maskp)
+    out, p = pl.pallas_call(
+        functools.partial(_sa_fwd_kernel, g=g, d=d, n_valid=n_valid,
+                          scale=scale, has_dropout=has_dropout),
+        grid=(hg, b // G),
+        in_specs=in_specs,
+        out_specs=[specs["out"], specs["score"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), qkvp.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return out, (qkvp, p, maskp)
+
+
+def _sa_bwd(static, res, dout):
+    g, d, n_valid, scale, has_dropout = static
+    qkvp, p, maskp = res
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
+    G = _pick_block(b, n_pad, g, backward=True)
+    specs = _specs(G, n_pad, g, gd)
+    in_specs = [specs["qkv"], specs["score"]]
+    args = [qkvp, p]
+    if has_dropout:
+        in_specs.append(specs["score"])
+        args.append(maskp)
+    in_specs.append(specs["out"])
+    args.append(dout)
+    dqkvp = pl.pallas_call(
+        functools.partial(_sa_bwd_kernel, g=g, d=d, scale=scale,
+                          has_dropout=has_dropout),
+        grid=(hg, b // G),
+        in_specs=in_specs,
+        out_specs=specs["qkv"],
+        out_shape=jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return dqkvp, jnp.zeros_like(maskp)
+
+
+_sa_core.defvjp(_sa_fwd, _sa_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "dropout_rate", "train"))
+def self_attention_qkv(qkv: jnp.ndarray, num_heads: int,
+                       scale: Optional[float] = None,
+                       dropout_rate: float = 0.0,
+                       dropout_rng: Optional[jax.Array] = None,
+                       train: bool = False) -> jnp.ndarray:
+    """Fused multi-head self-attention on the packed qkv projection.
+
+    qkv: [B, N, 3, C] (the [B, N, 3C] Dense output reshaped; column order
+    [3, H, dh]). Returns [B, N, C] in the same head-concatenated layout
+    the proj Dense expects. Differentiable (save-p backward kernel); the
+    attention-probability dropout (train only) is fused, with its mask
+    drawn outside by one RngBitGenerator op and shared with backward."""
+    b, n, three, c = qkv.shape
+    assert three == 3
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    g = max(1, min(num_heads, 128 // d))
+    while num_heads % g:
+        g -= 1
+    hg = num_heads // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+
+    has_dropout = bool(train and dropout_rate > 0.0)
+    if has_dropout:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 at train needs dropout_rng")
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, (hg, b, g * n_pad, n_pad))
+        maskp = keep.astype(qkv.dtype) * jnp.asarray(
+            1.0 / (1.0 - dropout_rate), qkv.dtype)
+    else:
+        # 1-row placeholder rides the residuals but never enters a kernel
+        maskp = jnp.zeros((hg, b, g, n_pad), qkv.dtype)
+
+    static = (g, d, n, scale, has_dropout)
+    out = _sa_core(static, qkvp, maskp)  # [B, Np, C]
+    return out[:, :n]
+
+
+def self_attention_xla(qkv: jnp.ndarray, num_heads: int,
+                       scale: Optional[float] = None) -> jnp.ndarray:
+    """Reference XLA path on the same [B, N, 3, C] packing (no dropout) —
+    the equality oracle for the kernel tests."""
+    b, n, _, c = qkv.shape
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    x = qkv.reshape(b, n, 3, num_heads, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = x[0], x[1], x[2]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn * scale, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, c)

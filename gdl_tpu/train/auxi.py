@@ -17,7 +17,7 @@ import jax
 import optax
 
 from gdl_tpu.config import Config
-from gdl_tpu.train.dgl import TrainState, cross_entropy
+from gdl_tpu.train.dgl import TrainState, cross_entropy, fast_stream
 from gdl_tpu.train.joint import regurize
 
 
@@ -33,6 +33,7 @@ def make_auxi_train_step(model, cfg: Config,
         base_rng = jax.random.PRNGKey(cfg.random_seed)
 
     def loss_fn(params, batch_stats, batch, rng):
+        rng = fast_stream(rng, getattr(cfg, "fast_dropout_rng", True))
         rngs = {"drop": rng, "dropout": rng, "pe": rng}
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},

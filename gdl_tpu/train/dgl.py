@@ -41,6 +41,23 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def fast_stream(rng: jax.Array, enable: bool = True) -> jax.Array:
+    """Re-key a threefry PRNG key as an 'rbg' key (cfg.fast_dropout_rng).
+
+    Downstream mask/noise draws (dropout, droppath, modality drop, PE eps)
+    then lower to XLA's RngBitGenerator — one fused op per draw — instead
+    of per-element threefry fusions, which profile at several ms/step on
+    the transformer-heavy models (benchmarks/RESULTS.md). fold_in/split on
+    the 'rbg' impl remain threefry-strength; only the bit generation
+    changes. Distributions are identical; the concrete stream differs,
+    exactly as it already differs from the reference's torch RNG."""
+    if not enable:
+        return rng
+    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
+    kd = jnp.tile(kd, 2)[:4]
+    return jax.random.wrap_key_data(kd, impl="rbg")
+
+
 def stop_fusion_gradients(params):
     """Stop-gradient every top-level subtree whose name contains 'fusion' —
     the structural mirror of the reference's
@@ -79,6 +96,7 @@ def dgl_loss_fn(model, params, batch_stats, batch: Dict[str, jnp.ndarray],
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {}
     if train and rng is not None:
+        rng = fast_stream(rng, getattr(cfg, "fast_dropout_rng", True))
         k_dp, k_do = jax.random.split(rng)
         rngs = {"droppath": k_dp, "dropout": k_do}
     if cfg.modality != "full":

@@ -70,6 +70,9 @@ def joint_loss_fn(model, params, batch_stats, batch, cfg: Config,
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {}
     if train:
+        from gdl_tpu.train.dgl import fast_stream
+
+        rng = fast_stream(rng, getattr(cfg, "fast_dropout_rng", True))
         k_pe, k_drop, k_dp, k_do = jax.random.split(rng, 4)
         if cfg.pe:
             rngs["pe"] = k_pe
