@@ -24,6 +24,11 @@ from flax import linen as nn
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
+# Module-level kill switch for the fused self-attention kernel —
+# benchmarks flip it for A/B runs; models gate on it in addition to
+# the per-module use_pallas field and the TPU/train check.
+SA_PALLAS_ENABLED = True
+
 MODALITY_COMBINATIONS = np.array(
     [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1],
      [1, 1, 1]], np.float32)
@@ -55,7 +60,9 @@ class SelfAttention(nn.Module):
         head_dim = self.dim // self.heads
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
                        name="qkv")(x)
-        use_kernel = (self.use_pallas and train
+        from gdl_tpu.models import transformer as _t
+
+        use_kernel = (self.use_pallas and _t.SA_PALLAS_ENABLED and train
                       and jax.default_backend() == "tpu"
                       and head_dim <= 128 and 128 % head_dim == 0)
         if use_kernel:

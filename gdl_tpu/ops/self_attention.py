@@ -147,11 +147,15 @@ def _specs(G, n_pad, g, gd):
 
 
 def _pick_block(b: int, n_pad: int, g: int, backward: bool) -> int:
-    """Largest G dividing b whose score-sized VMEM live set stays well
-    under the 16 MB scoped-vmem limit. Live f32 score arrays: fwd holds
-    ~2 (s, p); bwd ~3 (p, dp, ds)."""
-    live = 3 if backward else 2
-    budget = 10 * 2 ** 20  # leave headroom for qkv/out blocks + spills
+    """Largest G dividing b whose Mosaic stack stays under the 16 MB
+    scoped-vmem limit. MEASURED (v5e, Np=200, g=2): the forward kernel's
+    stack is ~2.54 MB per batch row — ≈8 score-sized f32 arrays live
+    (s, p, the iota/where temps, softmax max/sum broadcasts, and the
+    dot operand copies), far above the naive s+p count; G=8 OOMs by
+    4.35 MB, G=4 fits. The backward holds p/dp/ds plus the same temps —
+    budget it ~25% more."""
+    live = 10 if backward else 8
+    budget = 13 * 2 ** 20
     per_row = g * n_pad * n_pad * 4 * live
     G = max(1, budget // per_row)
     while b % G:
