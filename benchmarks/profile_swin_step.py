@@ -60,7 +60,7 @@ def main():
     subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  os.pardir, "tools", "parse_xplane.py"),
-                    args.out])
+                    args.out, "--steps", "3"])
 
 
 if __name__ == "__main__":
