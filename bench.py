@@ -12,7 +12,9 @@ The ONE printed JSON line also carries the measured ceiling anchors
 the chip's throughput sweet spot — ~38% MFU vs 27% at bs64; bs64 stays the
 headline because it is the reference script's batch size) and
 `swin_clips_per_sec`/`swin_mfu` (dual Swin-B joint step, bs32 — the swin
-sweet spot; bs64 regresses, benchmarks/RESULTS.md). Secondary measurements
+sweet spot; bs64 regresses, benchmarks/RESULTS.md) and
+`mmformer_clips_per_sec` (the intermediate-family anchor, 1.64x round 2
+after the rbg-dropout + fused-attention pass). Secondary measurements
 are skipped gracefully if the tunnel is slow (soft deadline) so the
 primary metric always lands.
 
@@ -41,7 +43,6 @@ REFERENCE_CLIPS_PER_SEC = 300.0  # estimated; see module docstring
 TORCH_CPU_FLOOR_CLIPS_PER_SEC = 3.71  # measured; torch_cpu_baseline.py
 
 BATCH = 64
-WARMUP = 3
 ITERS = 20
 
 # soft deadlines (seconds since bench start) for STARTING each secondary
@@ -49,6 +50,7 @@ ITERS = 20
 # only fire when the persistent XLA cache is warm or the tunnel is fast.
 BS256_DEADLINE_S = 900.0
 SWIN_DEADLINE_S = 1500.0
+MMFORMER_DEADLINE_S = 2100.0
 
 
 def make_result(clips_per_sec: float) -> dict:
@@ -68,6 +70,35 @@ def make_result(clips_per_sec: float) -> dict:
         "vs_torch_cpu_floor": round(
             clips_per_sec / TORCH_CPU_FLOOR_CLIPS_PER_SEC, 1),
     }
+
+
+
+def _chained_ms_per_step(raw_step, state, batch, iters: int):
+    """Device time per step via `iters` steps chained INSIDE one jit
+    (state is the carry; forced by a host transfer). Per-call python
+    loops through the remote-TPU tunnel can report impossibly fast
+    times (dispatch pipelining — CLAUDE.md); this is the honest method
+    used by benchmarks/run_all.py, now for every bench.py anchor too
+    (the round-3 bs256 per-call run reported 4.5 'MFU')."""
+    import jax
+
+    @jax.jit
+    def many(st):
+        def body(_, x):
+            x2, _ = raw_step(x, batch)
+            return x2
+
+        return jax.lax.fori_loop(0, iters, body, st)
+
+    fin = many(state)
+    float(jax.tree.leaves(fin.params)[0].reshape(-1)[0])  # compile+warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fin = many(state)
+        float(jax.tree.leaves(fin.params)[0].reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def _measure_dgl(batch_size: int, iters: int):
@@ -94,28 +125,17 @@ def _measure_dgl(batch_size: int, iters: int):
     state = create_train_state(model, cfg, rng, optimizer)
 
     preprocess = make_train_preprocess(cfg)
-    train_step = jax.jit(
-        make_dgl_train_step(model, cfg, optimizer, preprocess=preprocess,
-                            base_rng=rng),
-        donate_argnums=(0,))
+    raw_step = make_dgl_train_step(model, cfg, optimizer,
+                                   preprocess=preprocess, base_rng=rng)
 
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(cfg, batch_size, seed=1).items()}
 
-    for _ in range(WARMUP):
-        state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    clips = batch_size * iters / dt
-    flops = _flops_per_step(train_step, state, batch)
+    dt = _chained_ms_per_step(raw_step, state, batch, iters)
+    clips = batch_size / dt
+    flops = _flops_per_step(jax.jit(raw_step), state, batch)
     peak = _peak_flops(jax.devices()[0])
-    mfu = (flops * iters / dt / peak) if (flops and peak) else None
+    mfu = (flops / dt / peak) if (flops and peak) else None
     return clips, mfu, flops
 
 
@@ -143,21 +163,52 @@ def _measure_swin(batch_size: int = 32, iters: int = 10):
     batch = {"audio": jax.random.normal(r, (batch_size, 224, 224, 1)),
              "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
              "label": jnp.zeros((batch_size,), jnp.int32)}
-    step = jax.jit(make_joint_train_step(model, cfg, opt, 100),
-                   donate_argnums=(0,))
-    for _ in range(WARMUP):
-        state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    clips = batch_size * iters / dt
-    flops = _flops_per_step(step, state, batch)
+    raw_step = make_joint_train_step(model, cfg, opt, 100)
+    dt = _chained_ms_per_step(raw_step, state, batch, iters)
+    clips = batch_size / dt
+    flops = _flops_per_step(jax.jit(raw_step), state, batch)
     peak = _peak_flops(jax.devices()[0])
-    mfu = (flops * iters / dt / peak) if (flops and peak) else None
+    mfu = (flops / dt / peak) if (flops and peak) else None
     return clips, mfu
+
+
+def _measure_mmformer(batch_size: int = 64, iters: int = 10):
+    """mmformer_n train step (bf16, rbg dropout streams + fused Pallas
+    self-attention) — the intermediate-family anchor; 1.64x round 2
+    (benchmarks/RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.train.auxi import make_auxi_train_step
+    from gdl_tpu.train.dgl import TrainState
+    from gdl_tpu.train.optim import make_optimizer
+    from main_intermediate import build_model
+
+    cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
+                 compute_dtype="bfloat16", log_grad_csv=False)
+    model, kind = build_model("mmformer_n", cfg.n_classes, 64,
+                              dtype=jnp.bfloat16)
+    opt = make_optimizer(cfg, 100)
+    rng = jax.random.PRNGKey(0)
+    f, t = cfg.spec_shape
+    variables = model.init({"params": rng, "drop": rng, "dropout": rng,
+                            "pe": rng},
+                           jnp.zeros((2, f, t, 1)),
+                           jnp.zeros((2, 1, 224, 224, 3)),
+                           train=False, av_inputs=True)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt.init(variables["params"]))
+    raw = make_auxi_train_step(model, cfg, opt, seven_tuple=True,
+                               base_rng=rng, av_inputs=True)
+    r = jax.random.PRNGKey(1)
+    batch = {"audio": jax.random.normal(r, (batch_size, f, t, 1)),
+             "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
+             "label": jnp.zeros((batch_size,), jnp.int32)}
+    dt = _chained_ms_per_step(raw, state, batch, iters)
+    return batch_size / dt
 
 
 def main(_retry: bool = True):
@@ -193,6 +244,11 @@ def main(_retry: bool = True):
             out["swin_batch_size"] = 32
             if swin_mfu:
                 out["swin_mfu"] = round(swin_mfu, 4)
+        except Exception:
+            pass
+    if time.perf_counter() - t_start < MMFORMER_DEADLINE_S:
+        try:
+            out["mmformer_clips_per_sec"] = round(_measure_mmformer(), 2)
         except Exception:
             pass
     print(json.dumps(out))

@@ -252,6 +252,18 @@ class MMFormerN(nn.Module):
     width: int = 64
     seq_len: int = 196
     dtype: Any = jnp.float32
+    share_streams: bool = False  # OPT-IN perf mode: compute each
+    # modality's project->PE->intra token stream ONCE and reuse it across
+    # the fused and unimodal fusion passes (the live x_rgb stream is
+    # identical between the x_f and x_r calls, and x_ir between x_f and
+    # x_i — 6 intra stacks become 4). NOT default: the reference's three
+    # fusion_function calls draw INDEPENDENT dropout masks per pass and
+    # update the projection BNs' running stats three times
+    # (surf_mmfomer.py:337-351); sharing keeps every gradient unbiased
+    # (each pass's marginal distribution is unchanged) but correlates
+    # the gradient noise across passes and halves the BN running-stat
+    # update count. Eval forwards are bit-identical either way
+    # (tests/test_intermediate.py).
 
     def setup(self):
         w = self.width
@@ -288,15 +300,16 @@ class MMFormerN(nn.Module):
                            kernel_init=dense_xavier_init,
                            bias_init=nn.initializers.zeros, name="fc")
 
-    def fusion_function(self, x_rgb, x_ir, train: bool = False):
-        xs = [x_rgb, x_ir]
-        tokens = []
-        hw = None
-        for i in range(2):
-            t, hw = self.projects[i](xs[i], train)
-            t = self.pos_enc[i](t)
-            t = self.intra[i](t, train)
-            tokens.append(t)
+    def _intra_stream(self, i: int, x, train: bool):
+        """project -> positional encoding -> intra transformer for one
+        modality (the per-modality half of fusion_function)."""
+        t, _ = self.projects[i](x, train)
+        t = self.pos_enc[i](t)
+        return self.intra[i](t, train)
+
+    def _inter_fuse(self, tokens, train: bool):
+        """Concat -> inter transformer -> Conv1d token fuse -> pool (the
+        cross-modal half of fusion_function, surf_mmfomer.py:300-316)."""
         x = jnp.concatenate(tokens, axis=1)  # [B, 2·seq_len, C]
         x = self.inter_pe(x)
         x = self.inter(x, train)
@@ -304,6 +317,11 @@ class MMFormerN(nn.Module):
                        self.token_fuse.astype(x.dtype)) + \
             self.token_fuse_bias[None, :, None].astype(x.dtype)
         return jnp.mean(x, axis=1)  # pooled [B, C]
+
+    def fusion_function(self, x_rgb, x_ir, train: bool = False):
+        return self._inter_fuse([self._intra_stream(0, x_rgb, train),
+                                 self._intra_stream(1, x_ir, train)],
+                                train)
 
     def __call__(self, spec, frames, train: bool = False,
                  av_inputs: bool = True):
@@ -316,9 +334,19 @@ class MMFormerN(nn.Module):
         x_rgb, mu_rgb, std_rgb = self.rgb_p(x_rgb, train)
         x_ir, mu_depth, std_depth = self.depth_p(x_ir, train)
 
-        x_f = self.fc(self.fusion_function(x_rgb, x_ir, train))
-        x_r = self.fc(self.fusion_function(x_rgb, jnp.zeros_like(x_ir),
-                                           train))
-        x_i = self.fc(self.fusion_function(jnp.zeros_like(x_rgb), x_ir,
-                                           train))
+        if self.share_streams:
+            t_rgb = self._intra_stream(0, x_rgb, train)
+            t_ir = self._intra_stream(1, x_ir, train)
+            t_rgb0 = self._intra_stream(0, jnp.zeros_like(x_rgb), train)
+            t_ir0 = self._intra_stream(1, jnp.zeros_like(x_ir), train)
+            x_f = self.fc(self._inter_fuse([t_rgb, t_ir], train))
+            x_r = self.fc(self._inter_fuse([t_rgb, t_ir0], train))
+            x_i = self.fc(self._inter_fuse([t_rgb0, t_ir], train))
+        else:
+            x_f = self.fc(self.fusion_function(x_rgb, x_ir, train))
+            x_r = self.fc(self.fusion_function(x_rgb,
+                                               jnp.zeros_like(x_ir),
+                                               train))
+            x_i = self.fc(self.fusion_function(jnp.zeros_like(x_rgb),
+                                               x_ir, train))
         return x_f, mu_rgb, std_rgb, mu_depth, std_depth, x_r, x_i

@@ -44,19 +44,24 @@ def get_arguments():
     add_arguments(parser, dgl=True)
     parser.add_argument("--model", default="mmtm",
                         choices=["mmtm", "sefusion", "mmformer_n"])
+    parser.add_argument("--share_unimodal_streams", default=0, type=int,
+                        help="mmformer_n only: reuse each modality's "
+                        "intra token stream across the fused/unimodal "
+                        "passes (opt-in perf mode; see MMFormerN "
+                        "docstring for the dropout/BN-stat caveats)")
     return parser.parse_args()
 
 
 def build_model(name: str, n_classes: int, width: int = 64,
-                dtype=jnp.float32):
+                dtype=jnp.float32, share_streams: bool = False):
     if name == "mmtm":
         return MMTMNet(num_classes=n_classes, width=width,
                        dtype=dtype), "triple"
     if name == "sefusion":
         return SEFusionNet(num_classes=n_classes, width=width,
                            dtype=dtype), "single"
-    return MMFormerN(num_classes=n_classes, width=width,
-                     dtype=dtype), "seven"
+    return MMFormerN(num_classes=n_classes, width=width, dtype=dtype,
+                     share_streams=share_streams), "seven"
 
 
 def make_sefusion_step(model, cfg, optimizer, base_rng):
@@ -98,7 +103,9 @@ def main():
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
     model, kind = build_model(args.model, cfg.n_classes,
-                              cfg.encoder_width, dtype=dtype)
+                              cfg.encoder_width, dtype=dtype,
+                              share_streams=bool(
+                                  args.share_unimodal_streams))
     train_set = make_dataset(cfg, "train")
     test_set = make_dataset(cfg, "test")
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,

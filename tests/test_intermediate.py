@@ -111,6 +111,43 @@ def test_mmformer_n_seven_tuple():
     assert np.all(np.asarray(std_rgb) > 0)
 
 
+def test_mmformer_n_share_streams_eval_identical_train_runs():
+    """share_streams=True (the opt-in perf mode) must be bit-identical to
+    the faithful three-pass forward at EVAL (no dropout, running BN
+    stats), share the exact same parameter tree, and still train (the
+    7-tuple keeps its contract and gradients flow)."""
+    base = MMFormerN(num_classes=6, width=W, embed_dim=32, seq_len=4)
+    shared = MMFormerN(num_classes=6, width=W, embed_dim=32, seq_len=4,
+                       share_streams=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, RGB, DEPTH,
+                          train=False, av_inputs=False)
+    # same parameter tree: the shared variant re-uses the same modules
+    v2 = shared.init({"params": jax.random.PRNGKey(0)}, RGB, DEPTH,
+                     train=False, av_inputs=False)
+    assert jax.tree_util.tree_structure(variables["params"]) == \
+        jax.tree_util.tree_structure(v2["params"])
+
+    out_a = base.apply(variables, RGB, DEPTH, train=False, av_inputs=False)
+    out_b = shared.apply(variables, RGB, DEPTH, train=False,
+                         av_inputs=False)
+    for x, y in zip(out_a, out_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # train mode: runs, mutates stats, and x_f gradients are nonzero
+    rngs = {"dropout": jax.random.PRNGKey(3), "pe": jax.random.PRNGKey(4)}
+
+    def loss(params):
+        out, _ = shared.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            RGB, DEPTH, train=True, av_inputs=False, rngs=rngs,
+            mutable=["batch_stats"])
+        return sum(jnp.sum(jnp.square(o)) for o in (out[0], out[5], out[6]))
+
+    g = jax.grad(loss)(variables["params"])
+    gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_modality_drop_masks():
     xs = [jnp.ones((8, 2, 2, 4))] * 3
     out, mask = modality_drop(xs, jax.random.PRNGKey(0))
