@@ -687,13 +687,198 @@ def _qkv_attn_savep_bwd(static, res, dout):
 
 _qkv_attn_core_savep.defvjp(_qkv_attn_savep_fwd, _qkv_attn_savep_bwd)
 
+# ---------------------------------------------------------------------------
+# Transposed-score kernels (round 3): keys ride the SUBLANE dim, the packed
+# query-head axis rides the LANES. Swin scores are [g*Np, Np] = [224, 56]
+# per window in the row layout: the 56-lane dim wastes 56% of every 128-
+# lane vreg and every score-shaped elementwise op. Transposed, the score
+# block is [Np, g*Np] = [56, 224] — 87.5% lane use, HALF the vreg tiles
+# and half the score VMEM — and every dot (s, out, dv, dp, dq, dk) lands
+# NATURALLY in this layout (contract the sublane or lane dim directly),
+# so no transpose is added anywhere. Softmax reduces over sublanes.
+# ---------------------------------------------------------------------------
+
+
+def _wa_qkv_t_savep_kernel(qkv_ref, bias_ref, mask_ref, o_ref, p_ref, *,
+                           g, d, has_mask, scale):
+    """Forward, transposed scores, softmax saved as residual.
+
+    blocks: qkv [G, Np, 3, gd]; bias [1, Np_k, g*Np_q] (padded KEY rows
+    already hold -1e30); mask [G, Np_k, g*Np_q] (pre-tiled over heads);
+    o [G, Np, gd]; p residual [1, G, Np_k, g*Np_q]."""
+    q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    G, np_, gd = q.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(q.dtype)
+
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s_t = jax.lax.dot_general(
+        k, q_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    s_t = s_t + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        s_t = s_t + mask_ref[...].astype(jnp.float32)
+    p_t = jax.nn.softmax(s_t, axis=1)  # over keys (sublanes)
+    p_ref[0] = p_t.astype(p_ref.dtype)
+    out_full = jax.lax.dot_general(
+        p_t.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _wa_qkv_t_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref,
+                           *, g, d, scale):
+    """Backward from the transposed saved p — every dot contracts a
+    natural axis of the transposed layout; dbias accumulates transposed
+    ([1, Np_k, g*Np_q]) and the wrapper's autodiff through the bias
+    packing maps it back to the caller's [H, N, N]."""
+    i = pl.program_id(1)
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    p_t = p_ref[0].astype(jnp.float32)  # [G, Np_k, g*Np_q]
+    dout = dout_ref[...]  # [G, Np, gd]
+    G, np_, gd = qs.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(qs.dtype)
+
+    dout_bd = (dout[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    # dv[j, c] = sum_(h,i) p_t[j, (h,i)] * dout_bd[(h,i), c]
+    dv = jax.lax.dot_general(
+        p_t.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+    # dp_t[j, (h,i)] = v_h[j] . dout_h[i]
+    dp_t = jax.lax.dot_general(
+        v, dout_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    ds_t = p_t * (dp_t - jnp.sum(dp_t * p_t, axis=1, keepdims=True))
+
+    # dq[(h,i)] = sum_j ds_t[j, (h,i)] * k[j]  (then * scale)
+    dq_full = jax.lax.dot_general(
+        ds_t.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * bm[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    # dk[j] = sum_(h,i) ds_t[j, (h,i)] * q_bd[(h,i)]
+    q_bd = (qs[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dk = jax.lax.dot_general(
+        ds_t.astype(q_bd.dtype), q_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+
+    dqkv_ref[:, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2, :] = dv.astype(dqkv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += jnp.sum(ds_t, axis=0).astype(dbias_ref.dtype)
+
+
+def _qkv_t_specs(G, n_pad, g, gd, nw):
+    """Transposed-score analogs of _qkv_specs (same qkv/out blocks)."""
+    base = _qkv_specs(G, n_pad, g, gd, nw)
+    n_chunks = max(nw // G, 1)
+    return dict(
+        qkv=base["qkv"],
+        out=base["out"],
+        bias=pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
+                          memory_space=pltpu.VMEM),
+        mask=pl.BlockSpec((G, n_pad, g * n_pad),
+                          lambda hi, i: (i % n_chunks, 0, 0),
+                          memory_space=pltpu.VMEM),
+        p=pl.BlockSpec((1, G, n_pad, g * n_pad),
+                       lambda hi, i: (hi, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qkv_attn_core_savep_t(static, qkvp, bias_t, mask_t):
+    """Transposed-score savep core; static = (g, d, has_mask, scale, G,
+    nW). bias_t [HG, Np_k, g*Np_q] (padded-key rows -1e30); mask_t
+    [nW, Np_k, g*Np_q] pre-tiled over the g heads."""
+    return _qkv_attn_savep_t_fwd(static, qkvp, bias_t, mask_t)[0]
+
+
+def _qkv_attn_savep_t_fwd(static, qkvp, bias_t, mask_t):
+    g, d, has_mask, scale, G, nw = static
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
+    specs = _qkv_t_specs(G, n_pad, g, gd, nw)
+    out, p = pl.pallas_call(
+        functools.partial(_wa_qkv_t_savep_kernel, g=g, d=d,
+                          has_mask=has_mask, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], specs["bias"], specs["mask"]],
+        out_specs=[specs["out"], specs["p"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, b, n_pad, g * n_pad), qkvp.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, bias_t, mask_t)
+    return out, (qkvp, p, bias_t, mask_t)
+
+
+def _qkv_attn_savep_t_bwd(static, res, dout):
+    g, d, has_mask, scale, G, nw = static
+    qkvp, p, bias_t, mask_t = res
+    b, n_pad, _, c = qkvp.shape
+    gd = g * d
+    hg = c // gd
+    # halved backward block: even with the transposed scores' 2x smaller
+    # VMEM footprint, the full G=32 backward OOMs scoped vmem by 900 KB at
+    # stage 3 (16.88M/16M measured) — the bwd holds p/dp/ds plus q_bd and
+    # dout_bd concurrently
+    G = math.gcd(G, 16)
+    specs = _qkv_t_specs(G, n_pad, g, gd, nw)
+    dqkvp, dbias_t = pl.pallas_call(
+        functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[specs["qkv"], specs["p"], specs["out"]],
+        out_specs=[
+            specs["qkv"],
+            pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, p, dout)
+    return dqkvp, dbias_t.astype(bias_t.dtype), jnp.zeros_like(mask_t)
+
+
+_qkv_attn_core_savep_t.defvjp(_qkv_attn_savep_t_fwd, _qkv_attn_savep_t_bwd)
+
+
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "scale", "save_p"))
+                   static_argnames=("num_heads", "scale", "save_p",
+                                    "transposed"))
 def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
                                 num_heads: int,
                                 scale: Optional[float] = None,
-                                save_p: bool = True):
+                                save_p: bool = True,
+                                transposed: bool = True):
     """Packed-head Pallas attention fed DIRECTLY with the qkv projection
     output — [B, N, 3, C] (the reshape of the Dense's [B, N, 3C]) — and
     returning [B, N, C]. The head split never materializes in HBM: the
@@ -755,6 +940,24 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
         mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
 
     static = (g, d, mask is not None, scale, G, nw)
+    if save_p and transposed:
+        # transposed-score layout (keys in sublanes): same inputs, but
+        # bias/mask are packed as [.., Np_k, g*Np_q]. Autodiff through
+        # this packing maps the kernel's transposed dbias back to the
+        # caller's [H, N, N] bias automatically.
+        bt = jnp.pad(bias.reshape(hg, g, n, n),
+                     ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        bt = jnp.pad(bt, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                     constant_values=-1e30)  # padded KEYS -> -inf rows
+        bias_t = bt.transpose(0, 3, 1, 2).reshape(hg, n_pad, g * n_pad)
+        if mask is not None:
+            mt = jnp.pad(mask, ((0, 0), (0, n_pad - n),
+                                (0, n_pad - n))).transpose(0, 2, 1)
+            mask_t = jnp.tile(mt, (1, 1, g))  # [nW, Np_k, g*Np_q]
+        else:
+            mask_t = jnp.zeros((G, n_pad, g * n_pad), qkv.dtype)
+        out = _qkv_attn_core_savep_t(static, qkvp, bias_t, mask_t)
+        return out[:, :n]
     core = _qkv_attn_core_savep if save_p else _qkv_attn_core
     out = core(static, qkvp, bias_p, mask_p)  # [B, Np, C]
     return out[:, :n]

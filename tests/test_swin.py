@@ -199,12 +199,13 @@ def test_packed_attention_variants_match_xla():
         qkv5 = jnp.stack([q, k, v], axis=2)            # [b, h, 3, n, d]
         qkv = qkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3, c)
         ref_p = ref.transpose(0, 2, 1, 3).reshape(b, n, c)
-        for save_p in (False, True):
+        for save_p, transposed in ((False, False), (True, False),
+                                   (True, True)):
             out = np.asarray(window_attention_pallas_qkv(
-                qkv, bias, mask, h, save_p=save_p))
+                qkv, bias, mask, h, save_p=save_p, transposed=transposed))
             np.testing.assert_allclose(
                 out, ref_p, rtol=2e-4, atol=2e-5,
-                err_msg=f"qkv-direct h={h} save_p={save_p}")
+                err_msg=f"qkv-direct h={h} save_p={save_p} t={transposed}")
 
 
 def test_qkv_attention_savep_gradients_match_xla():
@@ -223,9 +224,10 @@ def test_qkv_attention_savep_gradients_match_xla():
         qkv = jnp.stack([q, k, v], axis=2).transpose(0, 3, 2, 1, 4)
         qkv = qkv.reshape(b, n, 3, c)
 
-        def loss_pallas(qkv, bias, save_p):
+        def loss_pallas(qkv, bias, save_p, transposed):
             o = window_attention_pallas_qkv(qkv, bias, mask, h,
-                                            save_p=save_p)
+                                            save_p=save_p,
+                                            transposed=transposed)
             return jnp.sum(jnp.sin(o))
 
         def loss_xla(qkv, bias):
@@ -236,10 +238,12 @@ def test_qkv_attention_savep_gradients_match_xla():
             return jnp.sum(jnp.sin(o.transpose(0, 2, 1, 3).reshape(b, n, c)))
 
         ref = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
-        for save_p in (False, True):
-            got = jax.grad(functools.partial(loss_pallas, save_p=save_p),
+        for save_p, transposed in ((False, False), (True, False),
+                                   (True, True)):
+            got = jax.grad(functools.partial(loss_pallas, save_p=save_p,
+                                             transposed=transposed),
                            argnums=(0, 1))(qkv, bias)
             for a, r, nm in zip(got, ref, ("dqkv", "dbias")):
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(r), rtol=5e-4, atol=5e-5,
-                    err_msg=f"h={h} {nm} save_p={save_p}")
+                    err_msg=f"h={h} {nm} save_p={save_p} t={transposed}")
