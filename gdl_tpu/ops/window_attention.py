@@ -925,19 +925,14 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     # (lane block index hi), so NO transpose exists at any head count —
     # the earlier hg-leading layout cost a real copy per stage-2/3/4 site.
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
-    # fold the padded-KEY masking into the bias (columns >= n get -1e30)
+    # fold the padded-KEY masking into the bias (padded keys get -1e30)
     # so the kernels skip a full score-sized iota+where in the forward AND
     # the recompute backward; padded-row softmaxes stay finite (their
     # valid columns are 0 + bias) and their dout is zero either way.
-    bias_p = jnp.pad(bias.reshape(hg, g, n, n),
-                     ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    bias_p = jnp.pad(bias_p, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
-                     constant_values=-1e30)
-    bias_p = bias_p.reshape(hg, g * n_pad, n_pad)
-    if mask is not None:
-        mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-    else:
-        mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
+    bp = jnp.pad(bias.reshape(hg, g, n, n),
+                 ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    bp = jnp.pad(bp, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                 constant_values=-1e30)  # [hg, g, q_pad, k_pad]
 
     static = (g, d, mask is not None, scale, G, nw)
     if save_p and transposed:
@@ -945,11 +940,7 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
         # bias/mask are packed as [.., Np_k, g*Np_q]. Autodiff through
         # this packing maps the kernel's transposed dbias back to the
         # caller's [H, N, N] bias automatically.
-        bt = jnp.pad(bias.reshape(hg, g, n, n),
-                     ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-        bt = jnp.pad(bt, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
-                     constant_values=-1e30)  # padded KEYS -> -inf rows
-        bias_t = bt.transpose(0, 3, 1, 2).reshape(hg, n_pad, g * n_pad)
+        bias_t = bp.transpose(0, 3, 1, 2).reshape(hg, n_pad, g * n_pad)
         if mask is not None:
             mt = jnp.pad(mask, ((0, 0), (0, n_pad - n),
                                 (0, n_pad - n))).transpose(0, 2, 1)
@@ -958,6 +949,12 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
             mask_t = jnp.zeros((G, n_pad, g * n_pad), qkv.dtype)
         out = _qkv_attn_core_savep_t(static, qkvp, bias_t, mask_t)
         return out[:, :n]
+
+    bias_p = bp.reshape(hg, g * n_pad, n_pad)
+    if mask is not None:
+        mask_p = jnp.pad(mask, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+    else:
+        mask_p = jnp.zeros((G, n_pad, n_pad), qkv.dtype)
     core = _qkv_attn_core_savep if save_p else _qkv_attn_core
     out = core(static, qkvp, bias_p, mask_p)  # [B, Np, C]
     return out[:, :n]
