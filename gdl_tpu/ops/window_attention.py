@@ -924,6 +924,12 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     # head-group axis is addressed as a 128-lane block inside the kernel
     # (lane block index hi), so NO transpose exists at any head count —
     # the earlier hg-leading layout cost a real copy per stage-2/3/4 site.
+    # Unpadded (Np=49) transposed blocks are LEGAL (every non-aligned
+    # block dim equals its array dim) and compile — but measured a LOSS:
+    # 164.8 ms vs 159.1 on the dual-Swin-B joint step (Mosaic's 49-sublane
+    # tilings cost more than the ~96 HBM pad/slice copies they remove).
+    # Token padding stays for both score layouts; the row-layout unpadded
+    # variant additionally overflows scoped vmem (round-2 negative).
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
     # fold the padded-KEY masking into the bias (padded keys get -1e30)
     # so the kernels skip a full score-sized iota+where in the forward AND
