@@ -147,10 +147,11 @@ class Config:
     swin_img_size: int = 224
     swin_patch: int = 4
     use_pallas_attn: bool = True  # Pallas fused window attention (packed
-    # heads, softmax saved as a forward residual). With the window-resident
-    # layout this wins the full dual-Swin-B TRAIN step on v5e (192.2 vs
-    # 171.1 clips/s, benchmarks/RESULTS.md). Models fall back to the XLA
-    # attention automatically off-TPU (interpret-mode Pallas is only a
+    # heads, softmax saved as a forward residual, transposed score
+    # layout). With the window-resident layout this wins the full
+    # dual-Swin-B TRAIN step on v5e (201.1 vs 171.1 clips/s,
+    # benchmarks/RESULTS.md). Models fall back to the XLA attention
+    # automatically off-TPU (interpret-mode Pallas is only a
     # correctness path).
     swin_window_resident: bool = True  # keep Swin tokens window-major
     # across each stage (one partition/reverse per stage, not per block);

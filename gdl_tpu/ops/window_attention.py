@@ -18,8 +18,10 @@ the v5e numbers):
     as 128-lane blocks of the projection's natural [B, N, 3, C] layout
     (no transposes at any stage), saves the softmax as a bf16 forward
     residual, and its backward kernel skips the score recompute —
-    combined with the model's window-resident stage layout this wins the
-    full dual-Swin-B train step (192.2 vs 171.1 clips/s, RESULTS.md).
+    combined with the model's window-resident stage layout and the
+    round-3 transposed score layout (keys in sublanes — see the
+    _wa_qkv_t_* kernels) this wins the full dual-Swin-B train step
+    (201.1 vs 171.1 clips/s, RESULTS.md).
     Inference and off-TPU backends take the XLA path (the pure forward
     is faster there and the p residual would be dead weight).
 
@@ -905,7 +907,9 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     # tried and is a recorded NEGATIVE: Mosaic accepts the 49-sized blocks
     # but its stack allocation grows past the 16 MB scoped-vmem limit at
     # G=32 (fails by 252 KB), and the G=16 fallback costs more than the
-    # pad copies it saves (177.8 vs 185.4 clips/s full train step).
+    # pad copies it saves (177.8 vs the then-current 185.4 clips/s full
+    # train step; the round-3 TRANSPOSED unpadded variant also lost —
+    # see the dispatcher note below).
     n_pad = _round_up(n, 8)
 
     if mask is not None:
