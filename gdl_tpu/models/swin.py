@@ -150,8 +150,6 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # [H, N, N]
 
-        qkv = _dense(3 * self.dim, self.dtype, "qkv",
-                     use_bias=self.qkv_bias)(x)
         # The Pallas path wins the TRAIN step (residual-p backward) but the
         # plain-XLA forward wins inference (14.6 vs 16.8 ms dual Swin-B —
         # the save-p forward also writes a residual nothing consumes), so
@@ -159,16 +157,31 @@ class WindowAttention(nn.Module):
         # (slow) interpret path — XLA there too (CPU tests, dryruns).
         if self.use_pallas and train and jax.default_backend() == "tpu":
             # packed-head kernel fed the projection output directly —
-            # the per-head split never materializes in HBM
+            # the per-head split never materializes in HBM. The token pad
+            # (49 -> 56) happens BEFORE the projection: padding the C-wide
+            # stream fuses into the LayerNorm producer, and the 3C-wide
+            # projection GEMM then writes the kernel's padded operand
+            # directly — removing the per-site HBM round trip of padding
+            # the projection output (the last profiled copy feeding the
+            # kernels; valid rows are bit-identical since padded keys are
+            # masked by the -1e30 bias columns either way).
             from gdl_tpu.ops.window_attention import (
                 window_attention_pallas_qkv,
             )
 
+            n_pad = -(-n // 8) * 8
+            xp = x if n_pad == n else jnp.pad(
+                x, ((0, 0), (0, n_pad - n), (0, 0)))
+            qkv = _dense(3 * self.dim, self.dtype, "qkv",
+                         use_bias=self.qkv_bias)(xp)
             out = window_attention_pallas_qkv(
-                qkv.reshape(b, n, 3, self.dim), bias, mask, self.num_heads)
+                qkv.reshape(b, n_pad, 3, self.dim), bias, mask,
+                self.num_heads, n_valid=n)
         else:
             from gdl_tpu.ops.window_attention import window_attention_xla_bnhd
 
+            qkv = _dense(3 * self.dim, self.dtype, "qkv",
+                         use_bias=self.qkv_bias)(x)
             out = window_attention_xla_bnhd(
                 qkv.reshape(b, n, 3, self.num_heads, head_dim), bias, mask)
         return _dense(self.dim, self.dtype, "proj")(out)

@@ -875,18 +875,27 @@ _qkv_attn_core_savep_t.defvjp(_qkv_attn_savep_t_fwd, _qkv_attn_savep_t_bwd)
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "scale", "save_p",
-                                    "transposed"))
+                                    "transposed", "n_valid"))
 def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
                                 num_heads: int,
                                 scale: Optional[float] = None,
                                 save_p: bool = True,
-                                transposed: bool = True):
+                                transposed: bool = True,
+                                n_valid: Optional[int] = None):
     """Packed-head Pallas attention fed DIRECTLY with the qkv projection
     output — [B, N, 3, C] (the reshape of the Dense's [B, N, 3C]) — and
     returning [B, N, C]. The head split never materializes in HBM: the
     qkv Dense's column order [3, H, dh] already has each head-group's
     gd(=128) lanes contiguous and the kernel addresses each head group as
-    a 128-lane block — the only host-side data movement is the N->Np pad.
+    a 128-lane block — the only host-side data movement is the N->Np pad,
+    and even that vanishes when the caller pre-pads: pass `n_valid=N`
+    with qkv already [B, Np, 3, C] (Np = N rounded up to 8) and the qkv
+    projection GEMM writes the kernel's padded operand directly — the
+    0.2-0.3 ms/site HBM round trip of padding the 3C-wide projection
+    output is replaced by padding the C-wide token stream BEFORE the
+    projection, where the pad fuses into the LayerNorm producer fusion
+    (padded rows are masked out of the keys by the -1e30 bias columns
+    either way, so valid outputs are bit-identical).
     Differentiable: the backward pass is a second Pallas
     kernel: with `save_p` (default) the forward stores the softmax
     probabilities as a residual (saved in the input dtype — bf16
@@ -895,6 +904,8 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     recompute backward (_wa_qkv_bwd_kernel)."""
     b, n, three, c = qkv.shape
     assert three == 3
+    if n_valid is not None:
+        n = n_valid
     d = c // num_heads
     scale = scale if scale is not None else d ** -0.5
     h = num_heads
@@ -934,7 +945,14 @@ def window_attention_pallas_qkv(qkv, bias, mask: Optional[jnp.ndarray],
     # tilings cost more than the ~96 HBM pad/slice copies they remove).
     # Token padding stays for both score layouts; the row-layout unpadded
     # variant additionally overflows scoped vmem (round-2 negative).
-    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    if n_valid is not None:
+        if qkv.shape[1] != n_pad:
+            raise ValueError(
+                f"pre-padded qkv has {qkv.shape[1]} tokens, expected "
+                f"{n_pad} for n_valid={n_valid}")
+        qkvp = qkv
+    else:
+        qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
     # fold the padded-KEY masking into the bias (padded keys get -1e30)
     # so the kernels skip a full score-sized iota+where in the forward AND
     # the recompute backward; padded-row softmaxes stay finite (their

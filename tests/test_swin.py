@@ -247,3 +247,57 @@ def test_qkv_attention_savep_gradients_match_xla():
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(r), rtol=5e-4, atol=5e-5,
                     err_msg=f"h={h} {nm} save_p={save_p} t={transposed}")
+
+
+def test_qkv_attention_prepadded_entry_matches_unpadded():
+    """The pre-padded entry (n_valid=N, qkv already [B, Np, 3, C] — the
+    model pads the token stream BEFORE the qkv projection so the GEMM
+    writes the kernel operand directly) must agree with the internal-pad
+    entry on valid rows, forward AND gradients, with GARBAGE in the pad
+    rows — padded keys are masked by the -1e30 bias columns, padded-query
+    outputs are sliced, and their incoming cotangent is zero."""
+    rng = np.random.default_rng(11)
+    n, d = 49, 32
+    for h, b, use_mask in ((4, 8, True), (8, 8, False)):
+        c = h * d
+        n_pad = -(-n // 8) * 8
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3, c)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+        mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4]) \
+            if use_mask else None
+        garbage = jnp.asarray(
+            rng.standard_normal((b, n_pad - n, 3, c)) * 50.0, jnp.float32)
+        qkv_p = jnp.concatenate([qkv, garbage], axis=1)
+
+        for save_p, transposed in ((False, False), (True, False),
+                                   (True, True)):
+            def f_ref(qkv, bias):
+                o = window_attention_pallas_qkv(
+                    qkv, bias, mask, h, save_p=save_p, transposed=transposed)
+                return jnp.sum(jnp.sin(o))
+
+            def f_pre(qkv_p, bias):
+                o = window_attention_pallas_qkv(
+                    qkv_p, bias, mask, h, save_p=save_p,
+                    transposed=transposed, n_valid=n)
+                return jnp.sum(jnp.sin(o))
+
+            ref_v, ref_g = jax.value_and_grad(f_ref, argnums=(0, 1))(
+                qkv, bias)
+            got_v, got_g = jax.value_and_grad(f_pre, argnums=(0, 1))(
+                qkv_p, bias)
+            np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                                       rtol=1e-5,
+                                       err_msg=f"fwd h={h} {save_p} "
+                                               f"{transposed}")
+            np.testing.assert_allclose(
+                np.asarray(got_g[0][:, :n]), np.asarray(ref_g[0]),
+                rtol=5e-5, atol=5e-6,
+                err_msg=f"dqkv h={h} {save_p} {transposed}")
+            # pad-row gradients must be exactly zero (they feed the qkv
+            # Dense backward: any nonzero here would corrupt dW/db)
+            assert float(jnp.abs(got_g[0][:, n:]).max()) == 0.0
+            np.testing.assert_allclose(
+                np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                rtol=5e-5, atol=5e-6,
+                err_msg=f"dbias h={h} {save_p} {transposed}")
