@@ -149,7 +149,7 @@ class Config:
     use_pallas_attn: bool = True  # Pallas fused window attention (packed
     # heads, softmax saved as a forward residual, transposed score
     # layout). With the window-resident layout this wins the full
-    # dual-Swin-B TRAIN step on v5e (201.1 vs 171.1 clips/s,
+    # dual-Swin-B TRAIN step on v5e (204.4 vs 171.1 clips/s,
     # benchmarks/RESULTS.md). Models fall back to the XLA attention
     # automatically off-TPU (interpret-mode Pallas is only a
     # correctness path).

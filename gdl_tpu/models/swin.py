@@ -220,7 +220,7 @@ class SwinBlock(nn.Module):
         if self.resident:
             b, wh, ww, _, _, c = x.shape
             shortcut = x
-            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             if shift > 0:
                 y = window_shift(y, shift)
                 mask = jnp.asarray(shift_attn_mask(h, w, window, shift))
@@ -236,7 +236,7 @@ class SwinBlock(nn.Module):
                 att = window_shift(att, shift, inverse=True)
             x = shortcut + DropPath(self.drop_path,
                                     name="drop_path1")(att, train)
-            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             y = _dense(int(self.dim * self.mlp_ratio), self.dtype,
                        "mlp_fc1")(y)
             y = nn.gelu(y, approximate=False)
@@ -245,7 +245,7 @@ class SwinBlock(nn.Module):
 
         b, l, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
@@ -262,7 +262,7 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, l, c)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = _dense(int(self.dim * self.mlp_ratio), self.dtype, "mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = _dense(self.dim, self.dtype, "mlp_fc2")(y)
@@ -282,7 +282,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return _dense(2 * self.dim, self.dtype, "reduction",
                       use_bias=False)(x)
 
@@ -302,7 +302,7 @@ class PatchEmbed(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x, (h, w)
 
 
@@ -367,7 +367,7 @@ class SwinTransformer(nn.Module):
                                  name=f"merge{stage}")(x)
                 h, w, dim = h // 2, w // 2, dim * 2
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         feat_map = x.reshape(x.shape[0], h, w, dim)  # [N, 7, 7, 1024]
 
         if not self.pe:

@@ -121,12 +121,12 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = SelfAttention(self.dim, self.heads, self.attn_dropout_rate,
                           self.dtype, name="attn")(y, train)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = FeedForward(self.dim, self.mlp_dim, self.dropout_rate,
                         self.dtype, name="ffn")(z, train)
         return x + z

@@ -21,7 +21,7 @@ the v5e numbers):
     combined with the model's window-resident stage layout and the
     round-3 transposed score layout (keys in sublanes — see the
     _wa_qkv_t_* kernels) this wins the full dual-Swin-B train step
-    (201.1 vs 171.1 clips/s, RESULTS.md).
+    (204.4 vs 171.1 clips/s, RESULTS.md).
     Inference and off-TPU backends take the XLA path (the pure forward
     is faster there and the p residual would be dead weight).
 
