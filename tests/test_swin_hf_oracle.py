@@ -67,23 +67,27 @@ def _to_hf_state_dict(ms_sd):
     return out
 
 
-def test_swin_forward_matches_transformers_swinmodel():
-    torch = pytest.importorskip("torch")
-    transformers = pytest.importorskip("transformers")
+def _run_parity(img_size, embed_dim, depths, num_heads, batch, seed,
+                rtol, atol):
+    import torch
     from transformers import SwinConfig, SwinModel
 
     from gdl_tpu.models.swin import SwinTransformer
     from gdl_tpu.utils.torch_interop import flax_to_torch_state_dict
 
     model = SwinTransformer(
-        modality="visual", img_size=56, patch_size=4, embed_dim=16,
-        depths=(2, 2), num_heads=(2, 4), window=7, drop_path_rate=0.0)
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((2, 1, 56, 56, 3)).astype(np.float32)
+        modality="visual", img_size=img_size, patch_size=4,
+        embed_dim=embed_dim, depths=depths, num_heads=num_heads,
+        window=7, drop_path_rate=0.0)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, 1, img_size, img_size, 3)) \
+        .astype(np.float32)
     variables = model.init({"params": jax.random.PRNGKey(3)},
                            jnp.asarray(x), train=False)
     feat = model.apply(variables, jnp.asarray(x), train=False)
-    feat = np.asarray(feat).reshape(2, 49, 32)
+    res = img_size // 4 // 2 ** (len(depths) - 1)
+    dim = embed_dim * 2 ** (len(depths) - 1)
+    feat = np.asarray(feat).reshape(batch, res * res, dim)
 
     ms_sd = flax_to_torch_state_dict(variables["params"],
                                      variables.get("batch_stats", {}),
@@ -91,8 +95,9 @@ def test_swin_forward_matches_transformers_swinmodel():
     hf_sd = _to_hf_state_dict(ms_sd)
 
     cfg = SwinConfig(
-        image_size=56, patch_size=4, num_channels=3, embed_dim=16,
-        depths=[2, 2], num_heads=[2, 4], window_size=7, mlp_ratio=4.0,
+        image_size=img_size, patch_size=4, num_channels=3,
+        embed_dim=embed_dim, depths=list(depths),
+        num_heads=list(num_heads), window_size=7, mlp_ratio=4.0,
         qkv_bias=True, hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0, drop_path_rate=0.0,
         hidden_act="gelu", use_absolute_embeddings=False)
@@ -108,4 +113,28 @@ def test_swin_forward_matches_transformers_swinmodel():
             torch.as_tensor(x[:, 0].transpose(0, 3, 1, 2))
         ).last_hidden_state.numpy()
 
-    np.testing.assert_allclose(feat, ref, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(feat, ref, rtol=rtol, atol=atol)
+    return float(np.abs(feat - ref).max())
+
+
+def test_swin_forward_matches_transformers_swinmodel():
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    _run_parity(img_size=56, embed_dim=16, depths=(2, 2),
+                num_heads=(2, 4), batch=2, seed=0, rtol=1e-4, atol=2e-5)
+
+
+def test_swin_b_full_width_matches_transformers_swinmodel():
+    """FULL Swin-B (embed 128, depths [2,2,18,2], 88 M params, 224 input
+    — the exact encoder the swin drivers train; reference ctor
+    swin_transformer.py modality variant) vs transformers.SwinModel.
+    Eager apply (no jit) keeps this ~40 s on the 1-core host; width-
+    dependent divergence (bias-table sizes, 18-block stage-2 depth,
+    4-stage merging chain) is what the tiny config above can't see."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    max_dev = _run_parity(img_size=224, embed_dim=128,
+                          depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                          batch=1, seed=1, rtol=1e-3, atol=1e-4)
+    # record the envelope: 24 fp32 blocks deep, expect O(1e-4)
+    assert max_dev < 5e-3, max_dev
