@@ -264,6 +264,20 @@ class MMFormerN(nn.Module):
     # the gradient noise across passes and halves the BN running-stat
     # update count. Eval forwards are bit-identical either way
     # (tests/test_intermediate.py).
+    batched_inter: bool = False  # run the three fusion passes' INTER half
+    # (pe -> inter transformer -> token fuse -> pool -> fc) as ONE call
+    # over the batch-concatenated [3B, 392, C] token streams. The inter
+    # half is BN-free (LayerNorm + attention + MLP + dropout, all
+    # row-wise), so eval outputs are bit-identical to three separate
+    # passes (measured exact on TPU; CPU oneDNN GEMMs reassociate at
+    # ~1e-7) and train keeps the reference's dropout DISTRIBUTION (one
+    # [3B,...] mask draw == three independent [B,...] draws row-for-row);
+    # only the RNG stream assignment differs — same class of change as
+    # cfg.fast_dropout_rng. The BN-bearing intra/projection calls stay
+    # separate and keep the reference's exact call order. MEASURED A WASH
+    # on v5e bs64 bf16 (96.0 vs 95.5 ms/step — the inter GEMMs are
+    # already MXU-saturated at B=64; RESULTS.md round-3), so the default
+    # stays the reference's three-pass structure.
 
     def setup(self):
         w = self.width
@@ -307,16 +321,21 @@ class MMFormerN(nn.Module):
         t = self.pos_enc[i](t)
         return self.intra[i](t, train)
 
-    def _inter_fuse(self, tokens, train: bool):
-        """Concat -> inter transformer -> Conv1d token fuse -> pool (the
-        cross-modal half of fusion_function, surf_mmfomer.py:300-316)."""
-        x = jnp.concatenate(tokens, axis=1)  # [B, 2·seq_len, C]
+    def _inter_tail(self, x, train: bool):
+        """PE -> inter transformer -> Conv1d token fuse -> pool on an
+        already seq-concatenated [B', 2·seq_len, C] stream (the cross-
+        modal half of fusion_function, surf_mmfomer.py:300-316). BN-free:
+        every op is row-wise, so batching fusion passes along B' is
+        exact."""
         x = self.inter_pe(x)
         x = self.inter(x, train)
         x = jnp.einsum("bnc,nm->bmc", x,
                        self.token_fuse.astype(x.dtype)) + \
             self.token_fuse_bias[None, :, None].astype(x.dtype)
-        return jnp.mean(x, axis=1)  # pooled [B, C]
+        return jnp.mean(x, axis=1)  # pooled [B', C]
+
+    def _inter_fuse(self, tokens, train: bool):
+        return self._inter_tail(jnp.concatenate(tokens, axis=1), train)
 
     def fusion_function(self, x_rgb, x_ir, train: bool = False):
         return self._inter_fuse([self._intra_stream(0, x_rgb, train),
@@ -339,14 +358,25 @@ class MMFormerN(nn.Module):
             t_ir = self._intra_stream(1, x_ir, train)
             t_rgb0 = self._intra_stream(0, jnp.zeros_like(x_rgb), train)
             t_ir0 = self._intra_stream(1, jnp.zeros_like(x_ir), train)
-            x_f = self.fc(self._inter_fuse([t_rgb, t_ir], train))
-            x_r = self.fc(self._inter_fuse([t_rgb, t_ir0], train))
-            x_i = self.fc(self._inter_fuse([t_rgb0, t_ir], train))
+            pairs = [(t_rgb, t_ir), (t_rgb, t_ir0), (t_rgb0, t_ir)]
         else:
-            x_f = self.fc(self.fusion_function(x_rgb, x_ir, train))
-            x_r = self.fc(self.fusion_function(x_rgb,
-                                               jnp.zeros_like(x_ir),
-                                               train))
-            x_i = self.fc(self.fusion_function(jnp.zeros_like(x_rgb),
-                                               x_ir, train))
+            # the 6 BN-bearing intra calls keep the reference's exact
+            # per-module input sequence (f, r, i passes in order), so
+            # running-stat updates compound identically
+            pairs = [
+                (self._intra_stream(0, x_rgb, train),
+                 self._intra_stream(1, x_ir, train)),
+                (self._intra_stream(0, x_rgb, train),
+                 self._intra_stream(1, jnp.zeros_like(x_ir), train)),
+                (self._intra_stream(0, jnp.zeros_like(x_rgb), train),
+                 self._intra_stream(1, x_ir, train)),
+            ]
+        seqs = [jnp.concatenate(p, axis=1) for p in pairs]
+        if self.batched_inter:
+            out = self.fc(self._inter_tail(jnp.concatenate(seqs, axis=0),
+                                           train))
+            x_f, x_r, x_i = jnp.split(out, 3, axis=0)
+        else:
+            x_f, x_r, x_i = (self.fc(self._inter_tail(s, train))
+                             for s in seqs)
         return x_f, mu_rgb, std_rgb, mu_depth, std_depth, x_r, x_i

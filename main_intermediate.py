@@ -49,11 +49,18 @@ def get_arguments():
                         "intra token stream across the fused/unimodal "
                         "passes (opt-in perf mode; see MMFormerN "
                         "docstring for the dropout/BN-stat caveats)")
+    parser.add_argument("--batched_inter", default=0, type=int,
+                        help="mmformer_n only: run the three fusion "
+                        "passes' BN-free inter half as one batched "
+                        "[3B] call (eval bit-identical; train keeps "
+                        "the dropout distribution). Measured a WASH "
+                        "at bs64 on v5e — kept as an experiment flag")
     return parser.parse_args()
 
 
 def build_model(name: str, n_classes: int, width: int = 64,
-                dtype=jnp.float32, share_streams: bool = False):
+                dtype=jnp.float32, share_streams: bool = False,
+                batched_inter: bool = False):
     if name == "mmtm":
         return MMTMNet(num_classes=n_classes, width=width,
                        dtype=dtype), "triple"
@@ -61,7 +68,8 @@ def build_model(name: str, n_classes: int, width: int = 64,
         return SEFusionNet(num_classes=n_classes, width=width,
                            dtype=dtype), "single"
     return MMFormerN(num_classes=n_classes, width=width, dtype=dtype,
-                     share_streams=share_streams), "seven"
+                     share_streams=share_streams,
+                     batched_inter=batched_inter), "seven"
 
 
 def make_sefusion_step(model, cfg, optimizer, base_rng):
@@ -105,7 +113,8 @@ def main():
     model, kind = build_model(args.model, cfg.n_classes,
                               cfg.encoder_width, dtype=dtype,
                               share_streams=bool(
-                                  args.share_unimodal_streams))
+                                  args.share_unimodal_streams),
+                              batched_inter=bool(args.batched_inter))
     train_set = make_dataset(cfg, "train")
     test_set = make_dataset(cfg, "test")
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,

@@ -216,3 +216,47 @@ def test_fixed_positional_encoding_table():
     assert pe.shape == (10, 8)
     np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-7)
     np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)
+
+
+def test_mmformer_n_batched_inter_eval_identical_train_runs():
+    """batched_inter=True (opt-in) runs the three fusion passes'
+    BN-free inter half as ONE [3B] call. Same parameter tree, eval
+    identical to three separate passes in BOTH stream modes (bitwise on
+    TPU; CPU oneDNN GEMMs pick batch-shape-dependent FMA orders, so the
+    CPU check allows reassociation-level noise), train still learns
+    (finite nonzero grads) and batch stats mutate."""
+    for share in (False, True):
+        sep = MMFormerN(num_classes=6, width=W, embed_dim=32, seq_len=4,
+                        share_streams=share, batched_inter=False)
+        bat = MMFormerN(num_classes=6, width=W, embed_dim=32, seq_len=4,
+                        share_streams=share, batched_inter=True)
+        variables = sep.init({"params": jax.random.PRNGKey(0)}, RGB,
+                             DEPTH, train=False, av_inputs=False)
+        v2 = bat.init({"params": jax.random.PRNGKey(0)}, RGB, DEPTH,
+                      train=False, av_inputs=False)
+        assert jax.tree_util.tree_structure(variables["params"]) == \
+            jax.tree_util.tree_structure(v2["params"])
+
+        out_a = sep.apply(variables, RGB, DEPTH, train=False,
+                          av_inputs=False)
+        out_b = bat.apply(variables, RGB, DEPTH, train=False,
+                          av_inputs=False)
+        for x, y in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-6, atol=2e-6)
+
+        rngs = {"dropout": jax.random.PRNGKey(3),
+                "pe": jax.random.PRNGKey(4)}
+
+        def loss(params):
+            out, updates = bat.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                RGB, DEPTH, train=True, av_inputs=False, rngs=rngs,
+                mutable=["batch_stats"])
+            return sum(jnp.sum(jnp.square(o))
+                       for o in (out[0], out[5], out[6]))
+
+        g = jax.grad(loss)(variables["params"])
+        gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
+        assert np.isfinite(gn) and gn > 0, share
