@@ -32,6 +32,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from gdl_tpu.config import Config
+from gdl_tpu.train.optim import global_norm_fused
 
 
 class TrainState(struct.PyTreeNode):
@@ -181,7 +182,11 @@ def make_dgl_train_step(model, cfg: Config,
             has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(state.params)
 
-        gnorm = optax.global_norm(grads)
+        # diagnostics only: the chain's clip recomputes this; XLA CSEs
+        # the two. Same mp gate as the chain so the programs match.
+        gnorm = (global_norm_fused(grads)
+                 if getattr(cfg, "mp", 1) == 1
+                 else optax.global_norm(grads))
         clip_coef = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
         audio_probe = jnp.zeros((), jnp.float32)
         visual_probe = jnp.zeros((), jnp.float32)

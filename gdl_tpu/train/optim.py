@@ -106,6 +106,73 @@ def dead_fusion_param_mask(cfg: Config, dgl: bool):
     return mask
 
 
+def global_norm_fused(tree, small_elems: int = 65536) -> jnp.ndarray:
+    """`optax.global_norm` with the SMALL leaves batched into one
+    reduction instead of one reduce kernel each.
+
+    Motivation (measured, benchmarks/RESULTS.md "swin levers"): dual
+    Swin-B carries ~680 gradient leaves, and the per-leaf reductions cost
+    8.0 ms/step of the joint train step — almost all fixed per-kernel
+    overhead (the HBM floor for re-reading every gradient once is
+    ~0.9 ms). ~500 of those leaves are tiny (biases, LayerNorm scales,
+    relative-position tables — a few MB total): concatenating just those
+    collapses ~500 launches at negligible extra traffic. Large matrices
+    stay per-leaf — concatenating EVERYTHING was measured a clear LOSS
+    (swin joint bs32 208.5 -> 190.7 clips/s: the ~680-operand concat of a
+    700 MB flat vector costs more writes + memory pressure than the
+    launches it saves; RESULTS.md round-3).
+
+    NOT for model-parallel trees: concatenating leaves with different
+    shardings forces XLA to all-gather every mp-sharded gradient (caught
+    by tests/test_collectives.py) — callers gate on cfg.mp == 1 and keep
+    `optax.global_norm` (per-leaf, sharding-preserving) otherwise.
+
+    Numerics: squares accumulate in float32 regardless of leaf dtype
+    (gradients are f32 here, so this matches optax's promotion); the sum
+    is a different association order than optax's per-leaf-then-scalar
+    sum, so results agree only to float rounding (~1e-7 rel — covered by
+    tests/test_optim.py)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.zeros((), jnp.float32)
+    small = [x for x in leaves if x.size < small_elems]
+    big = [x for x in leaves if x.size >= small_elems]
+    sumsq = jnp.zeros((), jnp.float32)
+    if small:
+        flat = jnp.concatenate(
+            [jnp.ravel(x).astype(jnp.float32) for x in small])
+        sumsq = sumsq + jnp.sum(jnp.square(flat))
+    for x in big:
+        sumsq = sumsq + jnp.sum(
+            jnp.square(jnp.ravel(x).astype(jnp.float32)))
+    return jnp.sqrt(sumsq)
+
+
+def clip_by_global_norm_fused(max_norm: float) -> optax.GradientTransformation:
+    """Drop-in for `optax.clip_by_global_norm` with the fused norm.
+
+    Same update rule (torch clip_grad_norm_ semantics at main_dgl.py:129
+    modulo torch's 1e-6 epsilon — identical to what optax implements):
+    leave updates untouched when ||g|| < max_norm, else scale every leaf
+    by max_norm/||g||."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = global_norm_fused(updates)
+        trigger = g_norm < max_norm
+        updates = jax.tree_util.tree_map(
+            lambda t: jnp.where(trigger, t,
+                                (t / g_norm.astype(t.dtype)) * max_norm),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int, clip_norm=40.0,
                    wd_mask=None) -> optax.GradientTransformation:
     """The full update chain for a reference driver run.
@@ -119,8 +186,13 @@ def make_optimizer(cfg: Config, steps_per_epoch: int, clip_norm=40.0,
     wd_mask (see dead_fusion_param_mask) exempts structurally-dead params
     from weight decay, matching torch's skip of grad-None params."""
     schedule = make_lr_schedule(cfg, steps_per_epoch)
+    # fused (single-reduction) clip on pure-dp meshes; per-leaf optax clip
+    # when model parallelism is active (the concat would all-gather every
+    # mp-sharded gradient — see global_norm_fused docstring)
     clip = (optax.identity() if clip_norm is None
-            else optax.clip_by_global_norm(clip_norm))
+            else (clip_by_global_norm_fused(clip_norm)
+                  if getattr(cfg, "mp", 1) == 1
+                  else optax.clip_by_global_norm(clip_norm)))
     if cfg.optimizer == "sgd":
         return optax.chain(
             clip,

@@ -153,3 +153,42 @@ def test_apply_ogm_masks_to_conv_kernels_and_window():
     # Normal mode: passthrough object
     assert apply_ogm(grads, 0.5, 0.25, rng, "Normal",
                      active=jnp.asarray(True)) is grads
+
+
+def test_fused_global_norm_matches_optax():
+    """global_norm_fused / clip_by_global_norm_fused == the optax pair to
+    float-rounding (different summation association only). The fused pair
+    exists because per-leaf reductions cost 8 ms/step on dual Swin-B
+    (~680 leaves; benchmarks/RESULTS.md "swin levers")."""
+    import optax
+
+    from gdl_tpu.train.optim import (clip_by_global_norm_fused,
+                                     global_norm_fused)
+
+    rng = np.random.default_rng(42)
+    tree = {
+        "a": {"kernel": rng.standard_normal((7, 5)).astype(np.float32),
+              "bias": rng.standard_normal((5,)).astype(np.float32)},
+        "b": [rng.standard_normal((3, 2, 2, 4)).astype(np.float32),
+              rng.standard_normal((1,)).astype(np.float32)],
+    }
+    tree = jax.tree.map(jnp.asarray, tree)
+
+    got = float(global_norm_fused(tree))
+    want = float(optax.global_norm(tree))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # scalar-leaf/empty edge cases
+    assert float(global_norm_fused({})) == 0.0
+    np.testing.assert_allclose(
+        float(global_norm_fused({"s": jnp.asarray(3.0)})), 3.0, rtol=1e-7)
+
+    for scale in (0.1, 30.0):  # below and above the max_norm trigger
+        big = jax.tree.map(lambda x: x * scale, tree)
+        fused = clip_by_global_norm_fused(4.0)
+        ref = optax.clip_by_global_norm(4.0)
+        u1, _ = fused.update(big, fused.init(big))
+        u2, _ = ref.update(big, ref.init(big))
+        for x, y in zip(jax.tree.leaves(u1), jax.tree.leaves(u2)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-7)
