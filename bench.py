@@ -93,7 +93,10 @@ def _chained_ms_per_step(raw_step, state, batch, iters: int):
     fin = many(state)
     float(jax.tree.leaves(fin.params)[0].reshape(-1)[0])  # compile+warm
     best = float("inf")
-    for _ in range(2):
+    # min-of-3: the wall clock around the single dispatch includes tunnel
+    # round-trip + host scheduling noise (a concurrently loaded host
+    # skewed mmformer 660 -> 615 clips/s once); extra repeats are ~2 s
+    for _ in range(3):
         t0 = time.perf_counter()
         fin = many(state)
         float(jax.tree.leaves(fin.params)[0].reshape(-1)[0])

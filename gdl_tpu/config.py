@@ -149,13 +149,18 @@ class Config:
     use_pallas_attn: bool = True  # Pallas fused window attention (packed
     # heads, softmax saved as a forward residual, transposed score
     # layout). With the window-resident layout this wins the full
-    # dual-Swin-B TRAIN step on v5e (204.4 vs 171.1 clips/s,
+    # dual-Swin-B TRAIN step on v5e (218.6 vs 171.1 clips/s,
     # benchmarks/RESULTS.md). Models fall back to the XLA attention
     # automatically off-TPU (interpret-mode Pallas is only a
     # correctness path).
     swin_window_resident: bool = True  # keep Swin tokens window-major
     # across each stage (one partition/reverse per stage, not per block);
     # bit-exact with the spatial layout
+    fuse_qkv_gemm: bool = True  # run the qkv projection GEMM inside the
+    # Pallas attention kernel: for 3C <= 1536 XLA's batch-in-lanes GEMM
+    # emitter forced a layout-conversion copy at every kernel boundary
+    # (12.5 ms/step of the dual-Swin-B joint step); identical math,
+    # params, and init (tests/test_swin.py)
 
     def __post_init__(self):
         if isinstance(self.lr_decay_step, str):
@@ -288,6 +293,10 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         type=lambda s: s not in ("0", "false", "False"))
     parser.add_argument("--use_pallas_attn", default=d.use_pallas_attn,
                         type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--fuse_qkv_gemm", default=d.fuse_qkv_gemm,
+                        type=lambda s: s not in ("0", "false", "False"),
+                        help="qkv projection GEMM inside the Pallas "
+                             "attention kernel (swin train path only)")
     parser.add_argument("--compilation_cache_dir", default=None, type=str,
                         help="persistent XLA compile cache; '' disables "
                              "(default ~/.cache/gdl_tpu/xla)")

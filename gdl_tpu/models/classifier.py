@@ -240,6 +240,7 @@ class AVClassifierSwin(nn.Module):
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn, pe=pe,
+                  fuse_qkv_gemm=cfg.fuse_qkv_gemm,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)
@@ -296,6 +297,7 @@ class AVClassifierSwinDGL(nn.Module):
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn,
+                  fuse_qkv_gemm=cfg.fuse_qkv_gemm,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)

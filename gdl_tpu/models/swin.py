@@ -131,12 +131,35 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class _QkvParams(nn.Module):
+    """Declares the qkv projection's parameters with EXACTLY the tree and
+    init `_dense` would create (attn/qkv/{kernel, bias}, float32,
+    trunc-normal(0.02) / zeros — swin_transformer.py:585-592) and returns
+    them raw — the fused-GEMM Pallas entry consumes the kernel directly
+    instead of calling Dense, so the torch-interop name map, init parity,
+    and existing checkpoints stay valid (tests/test_swin.py fused-path
+    tests assert tree + init equality)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", trunc02,
+                            (in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
     qkv_bias: bool = True
     use_pallas: bool = False
+    fuse_qkv: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -165,18 +188,34 @@ class WindowAttention(nn.Module):
             # the projection output (the last profiled copy feeding the
             # kernels; valid rows are bit-identical since padded keys are
             # masked by the -1e30 bias columns either way).
-            from gdl_tpu.ops.window_attention import (
-                window_attention_pallas_qkv,
-            )
-
+            # With fuse_qkv (default) the projection GEMM itself moves
+            # INSIDE the kernel: XLA's batch-in-lanes emitter for
+            # 3C <= 1536 GEMMs forced a layout-conversion copy at every
+            # kernel boundary (12.5 ms/step profiled on the dual-Swin-B
+            # joint step — ops/window_attention.py fused-GEMM section).
             n_pad = -(-n // 8) * 8
             xp = x if n_pad == n else jnp.pad(
                 x, ((0, 0), (0, n_pad - n), (0, 0)))
-            qkv = _dense(3 * self.dim, self.dtype, "qkv",
-                         use_bias=self.qkv_bias)(xp)
-            out = window_attention_pallas_qkv(
-                qkv.reshape(b, n_pad, 3, self.dim), bias, mask,
-                self.num_heads, n_valid=n)
+            if self.fuse_qkv and self.qkv_bias:
+                from gdl_tpu.ops.window_attention import (
+                    window_attention_pallas_qkv_fused,
+                )
+
+                kernel, kbias = _QkvParams(3 * self.dim, name="qkv")(c)
+                out = window_attention_pallas_qkv_fused(
+                    xp, kernel.astype(self.dtype),
+                    kbias.astype(self.dtype), bias, mask,
+                    self.num_heads, n_valid=n)
+            else:
+                from gdl_tpu.ops.window_attention import (
+                    window_attention_pallas_qkv,
+                )
+
+                qkv = _dense(3 * self.dim, self.dtype, "qkv",
+                             use_bias=self.qkv_bias)(xp)
+                out = window_attention_pallas_qkv(
+                    qkv.reshape(b, n_pad, 3, self.dim), bias, mask,
+                    self.num_heads, n_valid=n)
         else:
             from gdl_tpu.ops.window_attention import window_attention_xla_bnhd
 
@@ -208,6 +247,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    fuse_qkv: bool = True
     resident: bool = False
     dtype: Any = jnp.float32
 
@@ -229,6 +269,7 @@ class SwinBlock(nn.Module):
             att = y.reshape(b * wh * ww, window * window, c)
             att = WindowAttention(self.dim, window, self.num_heads,
                                   use_pallas=self.use_pallas,
+                                  fuse_qkv=self.fuse_qkv,
                                   dtype=self.dtype, name="attn")(att, mask,
                                                                  train)
             att = att.reshape(b, wh, ww, window, window, c)
@@ -254,7 +295,8 @@ class SwinBlock(nn.Module):
             mask = None
         x = window_partition(x, window)
         x = WindowAttention(self.dim, window, self.num_heads,
-                            use_pallas=self.use_pallas, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
+                            fuse_qkv=self.fuse_qkv, dtype=self.dtype,
                             name="attn")(x, mask, train)
         x = window_reverse(x, window, h, w)
         if shift > 0:
@@ -321,6 +363,8 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     pe: bool = False
     use_pallas_attn: bool = False
+    fuse_qkv_gemm: bool = True  # run the qkv projection INSIDE the Pallas
+    # kernel (layout-conversion copies; see WindowAttention)
     use_checkpoint: bool = False  # rematerialize blocks (the reference
     # ctor's use_checkpoint flag) — trades recompute for activation memory
     window_resident: bool = False  # keep the token stream window-major
@@ -356,7 +400,8 @@ class SwinTransformer(nn.Module):
                     shift=0 if i % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
-                    use_pallas=self.use_pallas_attn, resident=resident,
+                    use_pallas=self.use_pallas_attn,
+                    fuse_qkv=self.fuse_qkv_gemm, resident=resident,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{i}")(x, train)
                 block_idx += 1

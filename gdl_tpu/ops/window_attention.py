@@ -872,6 +872,239 @@ def _qkv_attn_savep_t_bwd(static, res, dout):
 _qkv_attn_core_savep_t.defvjp(_qkv_attn_savep_t_fwd, _qkv_attn_savep_t_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused-GEMM entry (round 3): the qkv PROJECTION runs inside the forward
+# kernel. Motivation is LAYOUT, not FLOPs: for 3C <= 1536 XLA's conv
+# emitter produces the qkv GEMM output batch-in-lanes ({0,2,1} — profiled
+# EmitOutputBatchInLanes) while Mosaic requires the default row-major
+# operand layout, so every kernel boundary paid a layout-conversion copy
+# (12.5 ms/step of the dual-Swin-B joint step, ~8%). With the GEMM
+# in-kernel, x arrives from the LayerNorm loop fusion (layout-flexible —
+# no copy), the saved qkv residual is kernel-PRODUCED in default layout
+# (no copy into the backward kernel), and W is re-read per block as a
+# [C, 3, gd] lane-block slice (a few MB/step — negligible). The backward
+# attention kernel is unchanged; dx/dW/db are plain XLA GEMMs from its
+# dqkv output (those still pay one dqkv conversion per site — the
+# remaining third of the copies; fusing dx/dW into the backward kernel is
+# the recorded follow-up lever).
+# ---------------------------------------------------------------------------
+
+
+def _wa_xw_t_savep_kernel(x_ref, w_ref, bv_ref, bias_ref, mask_ref,
+                          o_ref, p_ref, qkv_ref, *, g, d, has_mask, scale):
+    """Forward with the in-kernel qkv GEMM, transposed scores, softmax
+    saved as residual.
+
+    blocks: x [G, Np, C] (full feature dim); w [C, 3, gd] (this head
+    group's lane-block of the [C, 3, HG*gd] projection); bv [3, gd];
+    bias [1, Np_k, g*Np_q]; mask [G, Np_k, g*Np_q]; outputs o [G, Np,
+    gd], p [1, G, Np_k, g*Np_q], qkv [G, Np, 3, gd] (the residual the
+    unchanged backward kernel consumes)."""
+    x = x_ref[...]
+    G, np_, c = x.shape
+    gd = w_ref.shape[2]
+    # the GEMM: same rounding point as the XLA Dense it replaces (bf16
+    # operands, f32 accumulate, round to input dtype, then bias add)
+    qkv = jax.lax.dot_general(
+        x.reshape(G * np_, c), w_ref[...].reshape(c, 3 * gd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv.astype(x.dtype).reshape(G, np_, 3, gd) + \
+        bv_ref[...][None, None]
+    qkv_ref[...] = qkv
+
+    q = qkv[:, :, 0, :] * jnp.asarray(scale, qkv.dtype)
+    k = qkv[:, :, 1, :]
+    v = qkv[:, :, 2, :]
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(q.dtype)
+
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s_t = jax.lax.dot_general(
+        k, q_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    s_t = s_t + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        s_t = s_t + mask_ref[...].astype(jnp.float32)
+    p_t = jax.nn.softmax(s_t, axis=1)  # over keys (sublanes)
+    p_ref[0] = p_t.astype(p_ref.dtype)
+    out_full = jax.lax.dot_general(
+        p_t.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _xw_attn_core_savep_t(static, xp, w3, bv, bias_t, mask_t):
+    """Fused-GEMM transposed-score savep core. xp [B, Np, C]; w3
+    [C, 3, HG*gd] (the Dense kernel reshaped — its column order is
+    already [3, H, dh]); bv [3, HG*gd]; bias_t/mask_t as in
+    _qkv_attn_core_savep_t. static = (g, d, has_mask, scale, G, nW)."""
+    return _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t)[0]
+
+
+def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
+    g, d, has_mask, scale, G, nw = static
+    b, n_pad, c = xp.shape
+    gd = g * d
+    hg = w3.shape[2] // gd
+    specs = _qkv_t_specs(G, n_pad, g, gd, nw)
+    out, p, qkvp = pl.pallas_call(
+        functools.partial(_wa_xw_t_savep_kernel, g=g, d=d,
+                          has_mask=has_mask, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[
+            pl.BlockSpec((G, n_pad, c), lambda hi, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3, gd), lambda hi, i: (0, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, gd), lambda hi, i: (0, hi),
+                         memory_space=pltpu.VMEM),
+            specs["bias"], specs["mask"],
+        ],
+        out_specs=[specs["out"], specs["p"], specs["qkv"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hg * gd), xp.dtype),
+            jax.ShapeDtypeStruct((hg, b, n_pad, g * n_pad), xp.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, 3, hg * gd), xp.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(xp, w3, bv, bias_t, mask_t)
+    return out, (xp, w3, qkvp, p, bias_t, mask_t)
+
+
+def _xw_attn_savep_t_bwd(static, res, dout):
+    g, d, has_mask, scale, G, nw = static
+    xp, w3, qkvp, p, bias_t, mask_t = res
+    b, n_pad, _, c3 = qkvp.shape
+    c = xp.shape[-1]
+    gd = g * d
+    hg = c3 // gd
+    Gb = math.gcd(G, 16)  # same bwd block halving as the qkv entry
+    specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
+    dqkvp, dbias_t = pl.pallas_call(
+        functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d, scale=scale),
+        grid=(hg, b // Gb),
+        in_specs=[specs["qkv"], specs["p"], specs["out"]],
+        out_specs=[
+            specs["qkv"],
+            pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, p, dout)
+    # projection backward as plain GEMMs (same math and rounding as the
+    # replaced flax Dense's autodiff: bf16 dots, f32 accumulate, round to
+    # the operand dtype; the cast-to-f32 of the parameter cotangent
+    # happens in the caller's param-cast vjp as before)
+    dq2 = dqkvp.reshape(b * n_pad, 3 * c3)
+    w2 = w3.reshape(c, 3 * c3)
+    dx = jax.lax.dot_general(
+        dq2, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(xp.dtype)
+    dw = jax.lax.dot_general(
+        xp.reshape(b * n_pad, c), dq2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w3.dtype)
+    db = jnp.sum(dqkvp.astype(jnp.float32), axis=(0, 1)).astype(w3.dtype)
+    return (dx.reshape(xp.shape), dw.reshape(w3.shape),
+            db.reshape(3, c3), dbias_t.astype(bias_t.dtype),
+            jnp.zeros_like(mask_t))
+
+
+_xw_attn_core_savep_t.defvjp(_xw_attn_savep_t_fwd, _xw_attn_savep_t_bwd)
+
+
+def _pack_bias_mask_t(bias, mask, hg, g, n, n_pad, G, dtype):
+    """Transposed-layout bias/mask packing shared by the qkv and fused
+    entries: bias [H, N, N] -> [HG, Np_k, g*Np_q] with padded-key rows
+    -1e30; mask [nW, N, N] -> [nW, Np_k, g*Np_q] tiled over the g heads
+    (or a zero block when mask is None)."""
+    bp = jnp.pad(bias.reshape(hg, g, n, n),
+                 ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    bp = jnp.pad(bp, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)),
+                 constant_values=-1e30)  # [hg, g, q_pad, k_pad]
+    bias_t = bp.transpose(0, 3, 1, 2).reshape(hg, n_pad, g * n_pad)
+    if mask is not None:
+        mt = jnp.pad(mask, ((0, 0), (0, n_pad - n),
+                            (0, n_pad - n))).transpose(0, 2, 1)
+        mask_t = jnp.tile(mt, (1, 1, g))  # [nW, Np_k, g*Np_q]
+    else:
+        mask_t = jnp.zeros((G, n_pad, g * n_pad), dtype)
+    return bias_t, mask_t
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "n_valid"))
+def window_attention_pallas_qkv_fused(x, w, bvec, bias,
+                                      mask: Optional[jnp.ndarray],
+                                      num_heads: int,
+                                      scale: Optional[float] = None,
+                                      n_valid: Optional[int] = None):
+    """window_attention_pallas_qkv with the qkv PROJECTION fused into the
+    forward kernel (see the fused-GEMM section comment for why — layout-
+    conversion copies, not FLOPs).
+
+    x: [B, Np, C] pre-padded token stream (the LayerNorm output; pad rows
+    may be garbage — padded keys are masked by the -1e30 bias columns and
+    pad-row gradients are exactly zero, same contract as the pre-padded
+    qkv entry). w: [C, 3C] Dense kernel (column order [3, H, dh], i.e.
+    the flax Dense the XLA path uses — pass it pre-cast to the compute
+    dtype). bvec: [3C]. Returns [B, n_valid, C].
+
+    Only the save_p + transposed (training-default) variant exists here;
+    eval and off-TPU use the XLA path as before."""
+    b, n_p, c = x.shape
+    n = n_valid if n_valid is not None else n_p
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    h = num_heads
+    g = max(1, min(h, 128 // d))
+    while h % g:
+        g -= 1
+    hg = h // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+    if n_p != n_pad:
+        raise ValueError(f"x has {n_p} tokens, expected {n_pad} "
+                         f"for n_valid={n}")
+
+    if mask is not None:
+        nw = mask.shape[0]
+        if b % nw:
+            raise ValueError(f"windows {b} not a multiple of nW {nw}")
+        G = math.gcd(nw, 32)
+    else:
+        nw = 1
+        G = 32
+        while b % G:
+            G //= 2
+        G = max(G, 1)
+    # the in-kernel GEMM adds the [G, Np, C] x block (and its f32 dot
+    # accumulator) to the forward's VMEM stack: G=32 at C=1024 (stage 4)
+    # overflowed scoped vmem by 444 KB (16.43M/16M measured) — cap the
+    # block so the x operand stays <= 2.5 MB. Halving keeps G dividing
+    # nW (mask chunk alignment).
+    while G > 1 and G * n_pad * c * 2 > 2_500_000:
+        G //= 2
+
+    bias_t, mask_t = _pack_bias_mask_t(bias, mask, hg, g, n, n_pad, G,
+                                       x.dtype)
+    static = (g, d, mask is not None, scale, G, nw)
+    w3 = w.reshape(c, 3, h * d)
+    bv = bvec.reshape(3, h * d)
+    out = _xw_attn_core_savep_t(static, x, w3, bv, bias_t, mask_t)
+    return out[:, :n]
+
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "scale", "save_p",

@@ -301,3 +301,91 @@ def test_qkv_attention_prepadded_entry_matches_unpadded():
                 np.asarray(got_g[1]), np.asarray(ref_g[1]),
                 rtol=5e-5, atol=5e-6,
                 err_msg=f"dbias h={h} {save_p} {transposed}")
+
+
+def test_fused_qkv_entry_matches_xla_composition():
+    """window_attention_pallas_qkv_fused (qkv projection GEMM inside the
+    forward kernel) against the XLA composition Dense -> attention:
+    forward and every gradient (dx, dW, db, dbias) at fp32 tolerance,
+    with GARBAGE pad rows in x (pad keys masked by the -1e30 bias
+    columns; pad-row dx must be exactly zero so nothing upstream sees
+    them)."""
+    from gdl_tpu.ops.window_attention import (
+        window_attention_pallas_qkv_fused,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 49, 32
+    n_pad = -(-n // 8) * 8
+    for h, b, use_mask in ((4, 8, True), (8, 8, False)):
+        c = h * d
+        x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        garbage = jnp.asarray(
+            rng.standard_normal((b, n_pad - n, c)) * 50.0, jnp.float32)
+        xp = jnp.concatenate([x, garbage], axis=1)
+        w = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05,
+                        jnp.float32)
+        bvec = jnp.asarray(rng.standard_normal((3 * c,)) * 0.1,
+                           jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1,
+                           jnp.float32)
+        mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4]) \
+            if use_mask else None
+
+        def f_fused(xp, w, bvec, bias):
+            o = window_attention_pallas_qkv_fused(xp, w, bvec, bias, mask,
+                                                  h, n_valid=n)
+            return jnp.sum(jnp.sin(o))
+
+        def f_ref(x, w, bvec, bias):
+            qkv = (x @ w + bvec).reshape(b, n, 3, h, d)
+            qq, kk, vv = (qkv[:, :, i].transpose(0, 2, 1, 3)
+                          for i in range(3))
+            o = window_attention_xla(qq, kk, vv, bias, mask)
+            return jnp.sum(jnp.sin(
+                o.transpose(0, 2, 1, 3).reshape(b, n, c)))
+
+        ref_v, ref_g = jax.value_and_grad(f_ref, argnums=(0, 1, 2, 3))(
+            x, w, bvec, bias)
+        got_v, got_g = jax.value_and_grad(f_fused, argnums=(0, 1, 2, 3))(
+            xp, w, bvec, bias)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                                   rtol=1e-4, err_msg=f"fwd h={h}")
+        np.testing.assert_allclose(
+            np.asarray(got_g[0][:, :n]), np.asarray(ref_g[0]),
+            rtol=5e-4, atol=5e-5, err_msg=f"dx h={h}")
+        assert float(jnp.abs(got_g[0][:, n:]).max()) == 0.0, h
+        for gi, nm, tol in ((1, "dW", 5e-4), (2, "db", 5e-4),
+                            (3, "dbias", 5e-4)):
+            np.testing.assert_allclose(
+                np.asarray(got_g[gi]), np.asarray(ref_g[gi]),
+                rtol=tol, atol=5e-5, err_msg=f"{nm} h={h}")
+
+
+def test_fused_qkv_param_tree_and_init_match_dense():
+    """_QkvParams must create EXACTLY the params the flax Dense path
+    creates — same tree, same shapes, same init values under the same
+    RNG — so fuse_qkv_gemm never changes checkpoints or torch interop."""
+    from flax import linen as nn
+
+    from gdl_tpu.models.swin import _QkvParams, _dense
+
+    class ViaDense(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return _dense(24, jnp.float32, "qkv")(x)
+
+    class ViaParams(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            kernel, bias = _QkvParams(24, name="qkv")(x.shape[-1])
+            return x @ kernel + bias
+
+    x = jnp.zeros((2, 8))
+    p1 = ViaDense().init(jax.random.PRNGKey(3), x)["params"]
+    p2 = ViaParams().init(jax.random.PRNGKey(3), x)["params"]
+    assert jax.tree_util.tree_structure(p1) == \
+        jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
