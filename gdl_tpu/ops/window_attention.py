@@ -939,6 +939,88 @@ def _wa_xw_t_savep_kernel(x_ref, w_ref, bv_ref, bias_ref, mask_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _wa_xw_t_bwd_fused_kernel(qkv_ref, p_ref, dout_ref, x_ref, w_ref,
+                              dx_ref, dwp_ref, dbp_ref, dbiasp_ref,
+                              dx_acc, *, g, d, scale, hg):
+    """Phase-2 backward: attention backward AND the projection backward
+    in one kernel, so dqkv never reaches HBM (its [B, Np, 3, C] write +
+    three re-reads + the batch-in-lanes conversion copies feeding the dW
+    GEMM all disappear).
+
+    Grid is FLIPPED vs the forward: (b//G, hg) with the head-group axis
+    fastest, so the dx block (depending on i only) is revisited on
+    consecutive steps and accumulates in an f32 VMEM scratch (one
+    rounding to bf16 at the last head group — better than per-group
+    rounding); dW/db/dbias are emitted as per-window-block partials
+    (each (i, hi) block written exactly once) and reduced by XLA outside
+    — partial traffic is a few tens of MB/step vs the dqkv round trips
+    it replaces."""
+    hi = pl.program_id(1)
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    p_t = p_ref[0].astype(jnp.float32)  # [G, Np_k, g*Np_q]
+    dout = dout_ref[...]  # [G, Np, gd]
+    G, np_, gd = qs.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(qs.dtype)
+
+    dout_bd = (dout[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dv = jax.lax.dot_general(
+        p_t.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+    dp_t = jax.lax.dot_general(
+        v, dout_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    ds_t = p_t * (dp_t - jnp.sum(dp_t * p_t, axis=1, keepdims=True))
+
+    dq_full = jax.lax.dot_general(
+        ds_t.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * bm[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    q_bd = (qs[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dk = jax.lax.dot_general(
+        ds_t.astype(q_bd.dtype), q_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+
+    # dqkv as a VMEM value only — in the forward's dtype, matching what
+    # the phase-1 XLA GEMMs consumed
+    dqkv = jnp.stack([dq, dk, dv], axis=2).astype(qs.dtype)
+    dq2 = dqkv.reshape(G * np_, 3 * gd)
+
+    c = x_ref.shape[-1]
+    contrib = jax.lax.dot_general(
+        dq2, w_ref[...].reshape(c, 3 * gd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [G*Np, C]
+
+    @pl.when(hi == 0)
+    def _():
+        dx_acc[...] = jnp.zeros_like(dx_acc)
+
+    dx_acc[...] += contrib.reshape(G, np_, c)
+
+    @pl.when(hi == hg - 1)
+    def _():
+        dx_ref[...] = dx_acc[...].astype(dx_ref.dtype)
+
+    x2 = x_ref[...].reshape(G * np_, c)
+    dwp_ref[0] = jax.lax.dot_general(
+        x2, dq2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(c, 3, gd)
+    dbp_ref[0] = jnp.sum(dqkv.astype(jnp.float32),
+                         axis=(0, 1))  # [3, gd]
+    dbiasp_ref[0, 0] = jnp.sum(ds_t, axis=0)  # [Np_k, g*Np_q]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _xw_attn_core_savep_t(static, xp, w3, bv, bias_t, mask_t):
     """Fused-GEMM transposed-score savep core. xp [B, Np, C]; w3
@@ -978,6 +1060,15 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
     return out, (xp, w3, qkvp, p, bias_t, mask_t)
 
 
+# Phase-2 gate: run the projection backward INSIDE the backward kernel
+# (dqkv never reaches HBM). Correctness-tested (interpret mode, same
+# equality test as the forward fusion); UNMEASURED on hardware — the
+# tunnel dropped mid-A/B — so the shipped default stays the phase-1
+# split (bwd attention kernel + XLA dx/dW/db GEMMs). Flip at module
+# level before building a program to A/B.
+FUSED_PROJECTION_BACKWARD = False
+
+
 def _xw_attn_savep_t_bwd(static, res, dout):
     g, d, has_mask, scale, G, nw = static
     xp, w3, qkvp, p, bias_t, mask_t = res
@@ -986,38 +1077,94 @@ def _xw_attn_savep_t_bwd(static, res, dout):
     gd = g * d
     hg = c3 // gd
     Gb = math.gcd(G, 16)  # same bwd block halving as the qkv entry
-    specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
-    dqkvp, dbias_t = pl.pallas_call(
-        functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d, scale=scale),
-        grid=(hg, b // Gb),
-        in_specs=[specs["qkv"], specs["p"], specs["out"]],
+    if not FUSED_PROJECTION_BACKWARD:
+        # phase-1 split: unchanged attention backward kernel, then the
+        # projection backward as plain GEMMs (same math and rounding as
+        # the replaced flax Dense's autodiff: bf16 dots, f32 accumulate,
+        # round to the operand dtype)
+        specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
+        dqkvp, dbias_t = pl.pallas_call(
+            functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d,
+                              scale=scale),
+            grid=(hg, b // Gb),
+            in_specs=[specs["qkv"], specs["p"], specs["out"]],
+            out_specs=[
+                specs["qkv"],
+                pl.BlockSpec((1, n_pad, g * n_pad),
+                             lambda hi, i: (hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+                jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
+                                     jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(qkvp, p, dout)
+        dq2 = dqkvp.reshape(b * n_pad, 3 * c3)
+        w2 = w3.reshape(c, 3 * c3)
+        dx = jax.lax.dot_general(
+            dq2, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xp.dtype)
+        dw = jax.lax.dot_general(
+            xp.reshape(b * n_pad, c), dq2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(w3.dtype)
+        db = jnp.sum(dqkvp.astype(jnp.float32),
+                     axis=(0, 1)).astype(w3.dtype)
+        return (dx.reshape(xp.shape), dw.reshape(w3.shape),
+                db.reshape(3, c3), dbias_t.astype(bias_t.dtype),
+                jnp.zeros_like(mask_t))
+    # the x block + f32 dx scratch add Gb*Np*C*6 bytes to the backward's
+    # stack — cap at 2.5 MB (stage 4: C=1024 drops Gb 16 -> 4; Gb=8
+    # measured 256 KB over the 16 MB scoped limit there)
+    while Gb > 1 and Gb * n_pad * c * 6 > 2_500_000:
+        Gb //= 2
+    dx, dwp, dbp, dbiasp = pl.pallas_call(
+        functools.partial(_wa_xw_t_bwd_fused_kernel, g=g, d=d,
+                          scale=scale, hg=hg),
+        grid=(b // Gb, hg),  # hi FASTEST: dx accumulates across
+        # consecutive head-group steps in the VMEM scratch
+        in_specs=[
+            pl.BlockSpec((Gb, n_pad, 3, gd), lambda i, hi: (i, 0, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gb, n_pad, g * n_pad),
+                         lambda i, hi: (hi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, n_pad, gd), lambda i, hi: (i, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, n_pad, c), lambda i, hi: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3, gd), lambda i, hi: (0, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=[
-            specs["qkv"],
-            pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
+            pl.BlockSpec((Gb, n_pad, c), lambda i, hi: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 3, gd), lambda i, hi: (i, 0, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, gd), lambda i, hi: (i, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad, g * n_pad),
+                         lambda i, hi: (i, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-            jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
+            jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            jax.ShapeDtypeStruct((b // Gb, c, 3, hg * gd), jnp.float32),
+            jax.ShapeDtypeStruct((b // Gb, 3, hg * gd), jnp.float32),
+            jax.ShapeDtypeStruct((b // Gb, hg, n_pad, g * n_pad),
+                                 jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((Gb, n_pad, c), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(qkvp, p, dout)
-    # projection backward as plain GEMMs (same math and rounding as the
-    # replaced flax Dense's autodiff: bf16 dots, f32 accumulate, round to
-    # the operand dtype; the cast-to-f32 of the parameter cotangent
-    # happens in the caller's param-cast vjp as before)
-    dq2 = dqkvp.reshape(b * n_pad, 3 * c3)
-    w2 = w3.reshape(c, 3 * c3)
-    dx = jax.lax.dot_general(
-        dq2, w2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(xp.dtype)
-    dw = jax.lax.dot_general(
-        xp.reshape(b * n_pad, c), dq2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w3.dtype)
-    db = jnp.sum(dqkvp.astype(jnp.float32), axis=(0, 1)).astype(w3.dtype)
-    return (dx.reshape(xp.shape), dw.reshape(w3.shape),
-            db.reshape(3, c3), dbias_t.astype(bias_t.dtype),
+    )(qkvp, p, dout, xp, w3)
+    # partial reductions (f32 accumulate, one rounding — at least the
+    # precision of the phase-1 XLA GEMMs they replace)
+    dw = jnp.sum(dwp, axis=0).astype(w3.dtype)
+    db = jnp.sum(dbp, axis=0).astype(w3.dtype)
+    dbias_t = jnp.sum(dbiasp, axis=0)
+    return (dx, dw, db, dbias_t.astype(bias_t.dtype),
             jnp.zeros_like(mask_t))
 
 
