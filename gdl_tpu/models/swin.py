@@ -36,6 +36,14 @@ from flax import linen as nn
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def is_tpu_backend() -> bool:
+    """Gate for the Pallas training path. A function (not an inline
+    check) so integration tests can monkeypatch it and drive the model's
+    Pallas branches on CPU — the ops themselves still check the real
+    backend and fall back to interpret mode there."""
+    return jax.default_backend() == "tpu"
+
+
 def _dense(features, dtype, name=None, use_bias=True):
     return nn.Dense(features, dtype=dtype, use_bias=use_bias,
                     kernel_init=trunc02, bias_init=nn.initializers.zeros,
@@ -178,7 +186,7 @@ class WindowAttention(nn.Module):
         # the save-p forward also writes a residual nothing consumes), so
         # pallas is gated to training. Off-TPU the kernel only has the
         # (slow) interpret path — XLA there too (CPU tests, dryruns).
-        if self.use_pallas and train and jax.default_backend() == "tpu":
+        if self.use_pallas and train and is_tpu_backend():
             # packed-head kernel fed the projection output directly —
             # the per-head split never materializes in HBM. The token pad
             # (49 -> 56) happens BEFORE the projection: padding the C-wide

@@ -389,3 +389,48 @@ def test_fused_qkv_param_tree_and_init_match_dense():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_pallas_branch_integration_cpu(monkeypatch):
+    """Drive the MODEL's Pallas training branch on CPU (is_tpu_backend
+    patched True; the ops still see the real backend and run interpret
+    mode) — covers the WindowAttention fused-qkv plumbing (_QkvParams,
+    dtype promote, pre-pad, n_valid) that the backend gate otherwise
+    hides from the CPU suite. Forward and parameter gradients must match
+    the XLA branch at fp32 tolerance; param trees must be identical."""
+    import gdl_tpu.models.swin as swin_mod
+
+    monkeypatch.setattr(swin_mod, "is_tpu_backend", lambda: True)
+
+    kw = dict(modality="visual", img_size=56, patch_size=4, embed_dim=32,
+              depths=(2,), num_heads=(2,), window=7, drop_path_rate=0.0,
+              window_resident=True)
+    m_pal = SwinTransformer(use_pallas_attn=True, fuse_qkv_gemm=True,
+                            **kw)
+    m_xla = SwinTransformer(use_pallas_attn=False, **kw)
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((1, 1, 56, 56, 3)), jnp.float32)
+    v_pal = m_pal.init({"params": jax.random.PRNGKey(9)}, x, train=True)
+    v_xla = m_xla.init({"params": jax.random.PRNGKey(9)}, x, train=True)
+    assert jax.tree_util.tree_structure(v_pal["params"]) == \
+        jax.tree_util.tree_structure(v_xla["params"])
+    for a, b in zip(jax.tree.leaves(v_pal["params"]),
+                    jax.tree.leaves(v_xla["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(model, params):
+        return jnp.sum(jnp.sin(model.apply({"params": params}, x,
+                                           train=True)))
+
+    l_pal, g_pal = jax.value_and_grad(
+        functools.partial(loss, m_pal))(v_pal["params"])
+    l_xla, g_xla = jax.value_and_grad(
+        functools.partial(loss, m_xla))(v_xla["params"])
+    np.testing.assert_allclose(float(l_pal), float(l_xla), rtol=1e-5)
+    flat_p = jax.tree_util.tree_flatten_with_path(g_pal)[0]
+    flat_x = jax.tree.leaves(g_xla)
+    for (path, a), b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
