@@ -883,10 +883,11 @@ _qkv_attn_core_savep_t.defvjp(_qkv_attn_savep_t_fwd, _qkv_attn_savep_t_bwd)
 # no copy), the saved qkv residual is kernel-PRODUCED in default layout
 # (no copy into the backward kernel), and W is re-read per block as a
 # [C, 3, gd] lane-block slice (a few MB/step — negligible). The backward
-# attention kernel is unchanged; dx/dW/db are plain XLA GEMMs from its
-# dqkv output (those still pay one dqkv conversion per site — the
-# remaining third of the copies; fusing dx/dW into the backward kernel is
-# the recorded follow-up lever).
+# ships as the phase-1 split (unchanged attention backward kernel +
+# plain XLA dx/dW/db GEMMs from its dqkv output — those still pay one
+# dqkv conversion per site); the phase-2 fully-fused backward exists
+# behind FUSED_PROJECTION_BACKWARD below, correctness-tested but
+# unmeasured (tunnel outage — see that gate's comment).
 # ---------------------------------------------------------------------------
 
 
