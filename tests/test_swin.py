@@ -303,16 +303,30 @@ def test_qkv_attention_prepadded_entry_matches_unpadded():
                 err_msg=f"dbias h={h} {save_p} {transposed}")
 
 
-def test_fused_qkv_entry_matches_xla_composition():
+import pytest
+
+
+@pytest.mark.parametrize("fused_bwd", [False, True],
+                         ids=["phase1_split_bwd", "phase2_fused_bwd"])
+def test_fused_qkv_entry_matches_xla_composition(fused_bwd, monkeypatch):
     """window_attention_pallas_qkv_fused (qkv projection GEMM inside the
     forward kernel) against the XLA composition Dense -> attention:
     forward and every gradient (dx, dW, db, dbias) at fp32 tolerance,
     with GARBAGE pad rows in x (pad keys masked by the -1e30 bias
     columns; pad-row dx must be exactly zero so nothing upstream sees
-    them)."""
+    them). Runs both backward modes: the phase-1 split (attention bwd
+    kernel + XLA projection GEMMs) and the phase-2 fully-fused backward
+    (projection bwd inside the kernel, dqkv never reaches HBM)."""
+    import gdl_tpu.ops.window_attention as wa_mod
     from gdl_tpu.ops.window_attention import (
         window_attention_pallas_qkv_fused,
     )
+
+    monkeypatch.setattr(wa_mod, "FUSED_PROJECTION_BACKWARD", fused_bwd)
+    # the entry is @jax.jit-cached and the gate is read at TRACE time —
+    # without this the second parametrization would reuse the first's
+    # compiled backward and never exercise its own gate value
+    jax.clear_caches()
 
     rng = np.random.default_rng(17)
     n, d = 49, 32
