@@ -161,6 +161,10 @@ class Config:
     # emitter forced a layout-conversion copy at every kernel boundary
     # (12.5 ms/step of the dual-Swin-B joint step); identical math,
     # params, and init (tests/test_swin.py)
+    use_pallas_attn_eval: bool = False  # forward-only fused kernel for
+    # EVAL/inference (no p/qkv residual writes). Opt-in pending a
+    # hardware A/B against the XLA eval forward (which beat the save-p
+    # training kernel's pure forward 14.57 vs 16.8 ms)
 
     def __post_init__(self):
         if isinstance(self.lr_decay_step, str):
@@ -293,6 +297,11 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         type=lambda s: s not in ("0", "false", "False"))
     parser.add_argument("--use_pallas_attn", default=d.use_pallas_attn,
                         type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--use_pallas_attn_eval",
+                        default=d.use_pallas_attn_eval,
+                        type=lambda s: s not in ("0", "false", "False"),
+                        help="forward-only fused attention kernel at "
+                             "eval (opt-in pending measurement)")
     parser.add_argument("--fuse_qkv_gemm", default=d.fuse_qkv_gemm,
                         type=lambda s: s not in ("0", "false", "False"),
                         help="qkv projection GEMM inside the Pallas "

@@ -239,7 +239,8 @@ class AVClassifierSwin(nn.Module):
                   embed_dim=cfg.swin_embed_dim,
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
-                  use_pallas_attn=cfg.use_pallas_attn, pe=pe,
+                  use_pallas_attn=cfg.use_pallas_attn,
+                  pallas_attn_eval=cfg.use_pallas_attn_eval, pe=pe,
                   fuse_qkv_gemm=cfg.fuse_qkv_gemm,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
@@ -297,6 +298,7 @@ class AVClassifierSwinDGL(nn.Module):
                   depths=tuple(cfg.swin_depths),
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn,
+                  pallas_attn_eval=cfg.use_pallas_attn_eval,
                   fuse_qkv_gemm=cfg.fuse_qkv_gemm,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)

@@ -168,6 +168,9 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     use_pallas: bool = False
     fuse_qkv: bool = True
+    pallas_eval: bool = False  # forward-only fused kernel at EVAL too
+    # (no residual writes) — OFF until measured against the XLA eval
+    # forward that beat the save-p kernel (14.57 vs 16.8 ms)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -224,6 +227,21 @@ class WindowAttention(nn.Module):
                 out = window_attention_pallas_qkv(
                     qkv.reshape(b, n_pad, 3, self.dim), bias, mask,
                     self.num_heads, n_valid=n)
+        elif (self.use_pallas and self.pallas_eval and self.fuse_qkv
+              and self.qkv_bias and is_tpu_backend()):
+            # forward-only fused kernel for EVAL (no residual writes) —
+            # opt-in until measured against the XLA eval forward
+            from gdl_tpu.ops.window_attention import (
+                window_attention_pallas_qkv_fused_eval,
+            )
+
+            n_pad = -(-n // 8) * 8
+            xp = x if n_pad == n else jnp.pad(
+                x, ((0, 0), (0, n_pad - n), (0, 0)))
+            kernel, kbias = _QkvParams(3 * self.dim, name="qkv")(c)
+            out = window_attention_pallas_qkv_fused_eval(
+                xp, kernel.astype(self.dtype), kbias.astype(self.dtype),
+                bias, mask, self.num_heads, n_valid=n)
         else:
             from gdl_tpu.ops.window_attention import window_attention_xla_bnhd
 
@@ -256,6 +274,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: bool = False
     fuse_qkv: bool = True
+    pallas_eval: bool = False
     resident: bool = False
     dtype: Any = jnp.float32
 
@@ -278,6 +297,7 @@ class SwinBlock(nn.Module):
             att = WindowAttention(self.dim, window, self.num_heads,
                                   use_pallas=self.use_pallas,
                                   fuse_qkv=self.fuse_qkv,
+                                  pallas_eval=self.pallas_eval,
                                   dtype=self.dtype, name="attn")(att, mask,
                                                                  train)
             att = att.reshape(b, wh, ww, window, window, c)
@@ -304,7 +324,8 @@ class SwinBlock(nn.Module):
         x = window_partition(x, window)
         x = WindowAttention(self.dim, window, self.num_heads,
                             use_pallas=self.use_pallas,
-                            fuse_qkv=self.fuse_qkv, dtype=self.dtype,
+                            fuse_qkv=self.fuse_qkv,
+                            pallas_eval=self.pallas_eval, dtype=self.dtype,
                             name="attn")(x, mask, train)
         x = window_reverse(x, window, h, w)
         if shift > 0:
@@ -373,6 +394,8 @@ class SwinTransformer(nn.Module):
     use_pallas_attn: bool = False
     fuse_qkv_gemm: bool = True  # run the qkv projection INSIDE the Pallas
     # kernel (layout-conversion copies; see WindowAttention)
+    pallas_attn_eval: bool = False  # forward-only fused kernel at eval
+    # (opt-in pending measurement; see WindowAttention.pallas_eval)
     use_checkpoint: bool = False  # rematerialize blocks (the reference
     # ctor's use_checkpoint flag) — trades recompute for activation memory
     window_resident: bool = False  # keep the token stream window-major
@@ -409,7 +432,8 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
                     use_pallas=self.use_pallas_attn,
-                    fuse_qkv=self.fuse_qkv_gemm, resident=resident,
+                    fuse_qkv=self.fuse_qkv_gemm,
+                    pallas_eval=self.pallas_attn_eval, resident=resident,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{i}")(x, train)
                 block_idx += 1

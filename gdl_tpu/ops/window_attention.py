@@ -940,6 +940,50 @@ def _wa_xw_t_savep_kernel(x_ref, w_ref, bv_ref, bias_ref, mask_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _wa_xw_t_eval_kernel(x_ref, w_ref, bv_ref, bias_ref, mask_ref,
+                         o_ref, *, g, d, has_mask, scale):
+    """Forward-ONLY fused-GEMM kernel (inference): identical math to
+    _wa_xw_t_savep_kernel but qkv and the softmax stay VMEM values —
+    no residual writes. Round 2 measured the save-p Pallas forward
+    LOSING eval to plain XLA (16.8 vs 14.57 ms dual Swin-B) precisely
+    because it writes p ([HG, B, Np, g*Np]) and qkv ([B, Np, 3, C])
+    residuals nothing consumes; this variant exists to contest eval
+    without them."""
+    x = x_ref[...]
+    G, np_, c = x.shape
+    gd = w_ref.shape[2]
+    qkv = jax.lax.dot_general(
+        x.reshape(G * np_, c), w_ref[...].reshape(c, 3 * gd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv.astype(x.dtype).reshape(G, np_, 3, gd) + \
+        bv_ref[...][None, None]
+
+    q = qkv[:, :, 0, :] * jnp.asarray(scale, qkv.dtype)
+    k = qkv[:, :, 1, :]
+    v = qkv[:, :, 2, :]
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(q.dtype)
+
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s_t = jax.lax.dot_general(
+        k, q_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    s_t = s_t + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        s_t = s_t + mask_ref[...].astype(jnp.float32)
+    p_t = jax.nn.softmax(s_t, axis=1)
+    out_full = jax.lax.dot_general(
+        p_t.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
 def _wa_xw_t_bwd_fused_kernel(qkv_ref, p_ref, dout_ref, x_ref, w_ref,
                               dx_ref, dwp_ref, dbp_ref, dbiasp_ref,
                               dx_acc, *, g, d, scale, hg):
@@ -1251,6 +1295,72 @@ def window_attention_pallas_qkv_fused(x, w, bvec, bias,
     w3 = w.reshape(c, 3, h * d)
     bv = bvec.reshape(3, h * d)
     out = _xw_attn_core_savep_t(static, x, w3, bv, bias_t, mask_t)
+    return out[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "n_valid"))
+def window_attention_pallas_qkv_fused_eval(x, w, bvec, bias,
+                                           mask: Optional[jnp.ndarray],
+                                           num_heads: int,
+                                           scale: Optional[float] = None,
+                                           n_valid: Optional[int] = None):
+    """Inference variant of window_attention_pallas_qkv_fused: same
+    contract (pre-padded x, Dense kernel/bias operands, [B, n_valid, C]
+    out) but forward-ONLY — no p/qkv residual writes (the save-p
+    residuals are what made the training kernel LOSE pure-forward eval
+    to XLA, 16.8 vs 14.57 ms dual Swin-B). NOT differentiable (no vjp
+    registered); callers gate it to eval. Same block plan as the
+    training entry (the prologue mirrors it line-for-line)."""
+    b, n_p, c = x.shape
+    n = n_valid if n_valid is not None else n_p
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    h = num_heads
+    g = max(1, min(h, 128 // d))
+    while h % g:
+        g -= 1
+    hg = h // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+    if n_p != n_pad:
+        raise ValueError(f"x has {n_p} tokens, expected {n_pad} "
+                         f"for n_valid={n}")
+
+    if mask is not None:
+        nw = mask.shape[0]
+        if b % nw:
+            raise ValueError(f"windows {b} not a multiple of nW {nw}")
+        G = math.gcd(nw, 32)
+    else:
+        nw = 1
+        G = 32
+        while b % G:
+            G //= 2
+        G = max(G, 1)
+    while G > 1 and G * n_pad * c * 2 > 2_500_000:
+        G //= 2
+
+    bias_t, mask_t = _pack_bias_mask_t(bias, mask, hg, g, n, n_pad, G,
+                                       x.dtype)
+    specs = _qkv_t_specs(G, n_pad, g, gd, nw)
+    out = pl.pallas_call(
+        functools.partial(_wa_xw_t_eval_kernel, g=g, d=d,
+                          has_mask=mask is not None, scale=scale),
+        grid=(hg, b // G),
+        in_specs=[
+            pl.BlockSpec((G, n_pad, c), lambda hi, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3, gd), lambda hi, i: (0, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, gd), lambda hi, i: (0, hi),
+                         memory_space=pltpu.VMEM),
+            specs["bias"], specs["mask"],
+        ],
+        out_specs=specs["out"],
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hg * gd), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w.reshape(c, 3, h * d), bvec.reshape(3, h * d), bias_t, mask_t)
     return out[:, :n]
 
 

@@ -448,3 +448,33 @@ def test_model_pallas_branch_integration_cpu(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_model_pallas_eval_branch_integration_cpu(monkeypatch):
+    """Same backend-gate patching for the EVAL forward-only fused kernel
+    (pallas_attn_eval): the model's eval forward through
+    window_attention_pallas_qkv_fused_eval must match the XLA eval
+    branch at fp32 tolerance (no gradients — the eval kernel registers
+    no vjp and callers gate it to inference)."""
+    import gdl_tpu.models.swin as swin_mod
+
+    monkeypatch.setattr(swin_mod, "is_tpu_backend", lambda: True)
+
+    kw = dict(modality="visual", img_size=56, patch_size=4, embed_dim=32,
+              depths=(2,), num_heads=(2,), window=7, drop_path_rate=0.0,
+              window_resident=True)
+    m_ev = SwinTransformer(use_pallas_attn=True, fuse_qkv_gemm=True,
+                           pallas_attn_eval=True, **kw)
+    m_xla = SwinTransformer(use_pallas_attn=False, **kw)
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((1, 1, 56, 56, 3)), jnp.float32)
+    v_ev = m_ev.init({"params": jax.random.PRNGKey(11)}, x, train=False)
+    v_xla = m_xla.init({"params": jax.random.PRNGKey(11)}, x, train=False)
+    assert jax.tree_util.tree_structure(v_ev["params"]) == \
+        jax.tree_util.tree_structure(v_xla["params"])
+
+    o_ev = m_ev.apply(v_ev, x, train=False)
+    o_xla = m_xla.apply(v_xla, x, train=False)
+    np.testing.assert_allclose(np.asarray(o_ev), np.asarray(o_xla),
+                               rtol=1e-4, atol=1e-5)
