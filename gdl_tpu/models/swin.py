@@ -92,6 +92,16 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
     return x.reshape(b, h, w, -1)
 
 
+# Lower window_shift as four quadrant pieces combined by per-half column
+# concats and ONE final row concat, instead of two sequential full-array
+# concats. Bit-exact either way (tests); the sequential form materializes
+# the intermediate full array between the row and column stages, the
+# quadrant form gives XLA smaller concat operands sliced straight from
+# the input. Which one the TPU compiler lowers to fewer copy kernels is
+# an empirical question — flip to A/B (module-level, read at trace time).
+SHIFT_QUADRANT_LOWERING = False
+
+
 def window_shift(xw: jnp.ndarray, shift: int,
                  inverse: bool = False) -> jnp.ndarray:
     """Cyclic shift expressed IN the window-resident layout.
@@ -106,6 +116,33 @@ def window_shift(xw: jnp.ndarray, shift: int,
     followed by window I+1 rows 0..s-1.
     """
     win = xw.shape[3]
+    if SHIFT_QUADRANT_LOWERING:
+        if not inverse:
+            rt, rb = slice(shift, None), slice(None, shift)
+            ct, cb = slice(shift, None), slice(None, shift)
+            ra, ca = -1, -1
+        else:
+            rt, rb = slice(win - shift, None), slice(None, win - shift)
+            ct, cb = slice(win - shift, None), slice(None, win - shift)
+            ra, ca = 1, 1
+        r1 = jnp.roll(xw, ra, axis=1)
+        c1 = jnp.roll(xw, ca, axis=2)
+        rc = jnp.roll(r1, ca, axis=2)
+        if not inverse:
+            top = jnp.concatenate(
+                [xw[:, :, :, rt][:, :, :, :, ct],
+                 c1[:, :, :, rt][:, :, :, :, cb]], axis=4)
+            bot = jnp.concatenate(
+                [r1[:, :, :, rb][:, :, :, :, ct],
+                 rc[:, :, :, rb][:, :, :, :, cb]], axis=4)
+        else:
+            top = jnp.concatenate(
+                [rc[:, :, :, rt][:, :, :, :, ct],
+                 r1[:, :, :, rt][:, :, :, :, cb]], axis=4)
+            bot = jnp.concatenate(
+                [c1[:, :, :, rb][:, :, :, :, ct],
+                 xw[:, :, :, rb][:, :, :, :, cb]], axis=4)
+        return jnp.concatenate([top, bot], axis=3)
     if not inverse:  # windows of roll(x, (-shift, -shift))
         xw = jnp.concatenate(
             [xw[:, :, :, shift:], jnp.roll(xw, -1, axis=1)[:, :, :, :shift]],

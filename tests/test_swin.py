@@ -36,10 +36,20 @@ def test_window_partition_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-def test_window_shift_matches_roll_plus_partition():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("quadrant", [False, True])
+def test_window_shift_matches_roll_plus_partition(quadrant, monkeypatch):
     """window_shift (the window-resident cyclic shift) against the
     reference construction: spatial roll then partition
-    (swin_transformer.py:231-234), both directions."""
+    (swin_transformer.py:231-234), both directions — under both
+    lowerings (sequential two-concat and quadrant single-pass; the
+    flag only changes how XLA lowers the copies, outputs are
+    bit-exact)."""
+    import gdl_tpu.models.swin as _sm
+
+    monkeypatch.setattr(_sm, "SHIFT_QUADRANT_LOWERING", quadrant)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((2, 14, 14, 5)), jnp.float32)
     win, s = 7, 3
