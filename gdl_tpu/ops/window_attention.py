@@ -1106,12 +1106,29 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
 
 
 # Phase-2 gate: run the projection backward INSIDE the backward kernel
-# (dqkv never reaches HBM). Correctness-tested (interpret mode, same
-# equality test as the forward fusion); UNMEASURED on hardware — the
-# tunnel dropped mid-A/B — so the shipped default stays the phase-1
-# split (bwd attention kernel + XLA dx/dW/db GEMMs). Flip at module
-# level before building a program to A/B.
+# (dqkv never reaches HBM). Correctness-tested (equality test
+# parametrized over the gate in tests/test_swin.py). Values:
+#   False  — phase-1 split everywhere (bwd attention kernel + XLA
+#            dx/dW/db GEMMs from its dqkv output).
+#   True   — fused everywhere.
+#   "auto" — fused only where its per-(i, hi)-block dW PARTIALS cost
+#            less HBM traffic than the dqkv round trip they replace.
+#            The partials are (b/Gb)·3c²·4 bytes (each block writes a
+#            full [c, 3, c] f32 slab, reduced by XLA outside); the
+#            dqkv alternative is ~2·(b·Np·3c·2) write+read. The ratio
+#            is c/(Np·Gb): Swin-B stages 1-2 (c=128/256, Gb=16) win at
+#            0.14/0.29; stages 3-4 (c=512/1024, Gb=4 after the VMEM
+#            cap) LOSE at 2.3/4.6 — ~100 MB of partial traffic per
+#            block-layer, far more than the 11-55 MB dqkv round trip.
+# Default pending hardware A/B of False vs True vs "auto".
 FUSED_PROJECTION_BACKWARD = False
+
+
+def _fused_bwd_wins(b, n_pad, c, Gb_fused):
+    """The 'auto' policy: fused dW-partial bytes vs dqkv round-trip."""
+    dwp_bytes = (b // Gb_fused) * 3 * c * c * 4
+    dqkv_bytes = 2 * (b * n_pad * 3 * c * 2)
+    return dwp_bytes <= dqkv_bytes
 
 
 def _xw_attn_savep_t_bwd(static, res, dout):
@@ -1122,7 +1139,13 @@ def _xw_attn_savep_t_bwd(static, res, dout):
     gd = g * d
     hg = c3 // gd
     Gb = math.gcd(G, 16)  # same bwd block halving as the qkv entry
-    if not FUSED_PROJECTION_BACKWARD:
+    mode = FUSED_PROJECTION_BACKWARD
+    if mode == "auto":
+        Gb_f = Gb
+        while Gb_f > 1 and Gb_f * n_pad * c * 6 > 2_500_000:
+            Gb_f //= 2
+        mode = _fused_bwd_wins(b, n_pad, c, Gb_f)
+    if not mode:
         # phase-1 split: unchanged attention backward kernel, then the
         # projection backward as plain GEMMs (same math and rounding as
         # the replaced flax Dense's autodiff: bf16 dots, f32 accumulate,

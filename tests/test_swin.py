@@ -316,8 +316,9 @@ def test_qkv_attention_prepadded_entry_matches_unpadded():
 import pytest
 
 
-@pytest.mark.parametrize("fused_bwd", [False, True],
-                         ids=["phase1_split_bwd", "phase2_fused_bwd"])
+@pytest.mark.parametrize("fused_bwd", [False, True, "auto"],
+                         ids=["phase1_split_bwd", "phase2_fused_bwd",
+                              "auto_bwd"])
 def test_fused_qkv_entry_matches_xla_composition(fused_bwd, monkeypatch):
     """window_attention_pallas_qkv_fused (qkv projection GEMM inside the
     forward kernel) against the XLA composition Dense -> attention:
