@@ -996,10 +996,13 @@ def _wa_xw_t_bwd_fused_kernel(qkv_ref, p_ref, dout_ref, x_ref, w_ref,
     fastest, so the dx block (depending on i only) is revisited on
     consecutive steps and accumulates in an f32 VMEM scratch (one
     rounding to bf16 at the last head group — better than per-group
-    rounding); dW/db/dbias are emitted as per-window-block partials
-    (each (i, hi) block written exactly once) and reduced by XLA outside
-    — partial traffic is a few tens of MB/step vs the dqkv round trips
-    it replaces."""
+    rounding). dW accumulates in a VMEM-RESIDENT [hg, c, 3*gd] slab
+    whose block index is constant over the whole grid (the standard
+    reduction-residency pattern): one HBM write total, vs per-(i, hi)
+    partials which would cost (b/Gb)*3c^2*4 bytes (~100 MB/block-layer
+    at Swin-B stage 3/4 — more than the dqkv round trip they replace).
+    db/dbias stay per-window-block partials (tiny) reduced by XLA
+    outside."""
     hi = pl.program_id(1)
     qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
     k = qkv_ref[:, :, 1, :]
@@ -1058,9 +1061,24 @@ def _wa_xw_t_bwd_fused_kernel(qkv_ref, p_ref, dout_ref, x_ref, w_ref,
         dx_ref[...] = dx_acc[...].astype(dx_ref.dtype)
 
     x2 = x_ref[...].reshape(G * np_, c)
-    dwp_ref[0] = jax.lax.dot_general(
+    dw_part = jax.lax.dot_general(
         x2, dq2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(c, 3, gd)
+        preferred_element_type=jnp.float32)  # [c, 3*gd]
+
+    i = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(i == 0, hi == 0))
+    def _():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+
+    # static per-head-group stores (hi selects the slab row via pl.when
+    # — unrolled hg <= 8 ways; dynamic leading-dim stores would also
+    # work but the static form is unconditionally Mosaic-legal)
+    for k_hg in range(hg):
+        @pl.when(hi == k_hg)
+        def _(k_hg=k_hg):
+            dwp_ref[k_hg] += dw_part
+
     dbp_ref[0] = jnp.sum(dqkv.astype(jnp.float32),
                          axis=(0, 1))  # [3, gd]
     dbiasp_ref[0, 0] = jnp.sum(ds_t, axis=0)  # [Np_k, g*Np_q]
@@ -1111,24 +1129,23 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
 #   False  — phase-1 split everywhere (bwd attention kernel + XLA
 #            dx/dW/db GEMMs from its dqkv output).
 #   True   — fused everywhere.
-#   "auto" — fused only where its per-(i, hi)-block dW PARTIALS cost
-#            less HBM traffic than the dqkv round trip they replace.
-#            The partials are (b/Gb)·3c²·4 bytes (each block writes a
-#            full [c, 3, c] f32 slab, reduced by XLA outside); the
-#            dqkv alternative is ~2·(b·Np·3c·2) write+read. The ratio
-#            is c/(Np·Gb): Swin-B stages 1-2 (c=128/256, Gb=16) win at
-#            0.14/0.29; stages 3-4 (c=512/1024, Gb=4 after the VMEM
-#            cap) LOSE at 2.3/4.6 — ~100 MB of partial traffic per
-#            block-layer, far more than the 11-55 MB dqkv round trip.
+#   "auto" — fused only where the in-kernel dW reduction slab
+#            ([hg, c, 3·gd] f32 = 3c²·4 bytes, VMEM-resident for the
+#            whole grid, one HBM write) fits the VMEM budget: Swin-B
+#            stages 1-3 (c=128/256/512 → 0.2/0.8/3.1 MB) qualify;
+#            stage 4 (c=1024 → 12.6 MB) would crowd out the working
+#            set and stays on the phase-1 split.
 # Default pending hardware A/B of False vs True vs "auto".
 FUSED_PROJECTION_BACKWARD = False
 
+_DW_SLAB_VMEM_CAP = 4_194_304  # 4 MB
+
 
 def _fused_bwd_wins(b, n_pad, c, Gb_fused):
-    """The 'auto' policy: fused dW-partial bytes vs dqkv round-trip."""
-    dwp_bytes = (b // Gb_fused) * 3 * c * c * 4
-    dqkv_bytes = 2 * (b * n_pad * 3 * c * 2)
-    return dwp_bytes <= dqkv_bytes
+    """The 'auto' policy: the resident dW slab must fit the VMEM cap
+    (its HBM traffic — one slab write — always beats the phase-1 dqkv
+    round trip once it fits)."""
+    return 3 * c * c * 4 <= _DW_SLAB_VMEM_CAP
 
 
 def _xw_attn_savep_t_bwd(static, res, dout):
@@ -1209,7 +1226,9 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         out_specs=[
             pl.BlockSpec((Gb, n_pad, c), lambda i, hi: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 3, gd), lambda i, hi: (i, 0, 0, hi),
+            # dW slab: constant block index → VMEM-resident across the
+            # WHOLE grid, one HBM write (reduction-residency pattern)
+            pl.BlockSpec((hg, c, 3 * gd), lambda i, hi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, gd), lambda i, hi: (i, 0, hi),
                          memory_space=pltpu.VMEM),
@@ -1219,7 +1238,7 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         ],
         out_shape=[
             jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-            jax.ShapeDtypeStruct((b // Gb, c, 3, hg * gd), jnp.float32),
+            jax.ShapeDtypeStruct((hg, c, 3 * gd), jnp.float32),
             jax.ShapeDtypeStruct((b // Gb, 3, hg * gd), jnp.float32),
             jax.ShapeDtypeStruct((b // Gb, hg, n_pad, g * n_pad),
                                  jnp.float32),
@@ -1227,9 +1246,12 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         scratch_shapes=[pltpu.VMEM((Gb, n_pad, c), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(qkvp, p, dout, xp, w3)
-    # partial reductions (f32 accumulate, one rounding — at least the
-    # precision of the phase-1 XLA GEMMs they replace)
-    dw = jnp.sum(dwp, axis=0).astype(w3.dtype)
+    # db/dbias partial reductions (f32 accumulate, one rounding — at
+    # least the precision of the phase-1 XLA GEMMs they replace); the
+    # dW slab is already fully reduced in-kernel — only reorder its
+    # [hg, c, 3, gd] rows into the Dense kernel's [c, 3, hg*gd] columns
+    dw = dwp.reshape(hg, c, 3, gd).transpose(1, 2, 0, 3) \
+        .reshape(c, 3, hg * gd).astype(w3.dtype)
     db = jnp.sum(dbp, axis=0).astype(w3.dtype)
     dbias_t = jnp.sum(dbiasp, axis=0)
     return (dx, dw, db, dbias_t.astype(bias_t.dtype),
