@@ -189,7 +189,34 @@ def bench_intermediate(model_name: str, batch_size: int, iters: int):
     return batch_size / dt, dt * 1e3
 
 
-def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
+def bench_swin_gated(batch_size: int, iters: int, fused_bwd=None,
+                     quad_shift=None):
+    """bench_swin under the module-level kernel gates (phase-2/auto
+    fused projection backward, quadrant shift lowering). Clears jax
+    caches around the run so the trace-time gates actually apply, and
+    restores the defaults after."""
+    import jax
+
+    import gdl_tpu.models.swin as sm
+    import gdl_tpu.ops.window_attention as wa
+
+    jax.clear_caches()
+    old_b = wa.FUSED_PROJECTION_BACKWARD
+    old_q = sm.SHIFT_QUADRANT_LOWERING
+    if fused_bwd is not None:
+        wa.FUSED_PROJECTION_BACKWARD = fused_bwd
+    if quad_shift is not None:
+        sm.SHIFT_QUADRANT_LOWERING = quad_shift
+    try:
+        return bench_swin(batch_size, iters, pallas=True)
+    finally:
+        wa.FUSED_PROJECTION_BACKWARD = old_b
+        sm.SHIFT_QUADRANT_LOWERING = old_q
+        jax.clear_caches()
+
+
+def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False,
+                    fused_eval: bool = False):
     """Forward-only (serving/eval) dual-Swin throughput."""
     import jax
     import jax.numpy as jnp
@@ -202,7 +229,8 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False):
     cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
                  alpha=1.0, batch_size=batch_size,
                  compute_dtype="bfloat16", modulation="Normal",
-                 log_grad_csv=False, fps=1, use_pallas_attn=pallas)
+                 log_grad_csv=False, fps=1, use_pallas_attn=pallas,
+                 use_pallas_attn_eval=fused_eval)
     model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
     opt = make_optimizer(cfg, 100)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
@@ -263,6 +291,16 @@ CONFIGS = {
     # must report the same number (verifies the eval path ignores the flag).
     "swin_eval_bs16_pallas_gatecheck": lambda it: bench_swin_eval(
         16, it, pallas=True),
+    # forward-only fused eval kernel (use_pallas_attn_eval)
+    "swin_eval_bs16_fused": lambda it: bench_swin_eval(
+        16, it, pallas=True, fused_eval=True),
+    # kernel-gate A/Bs (module-level flags, cache-cleared per run)
+    "swin_bs32_phase2": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), fused_bwd=True),
+    "swin_bs32_phase2auto": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), fused_bwd="auto"),
+    "swin_bs32_quadshift": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), quad_shift=True),
 }
 
 
