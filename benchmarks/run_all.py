@@ -294,9 +294,11 @@ CONFIGS = {
     # forward-only fused eval kernel (use_pallas_attn_eval)
     "swin_eval_bs16_fused": lambda it: bench_swin_eval(
         16, it, pallas=True, fused_eval=True),
-    # kernel-gate A/Bs (module-level flags, cache-cleared per run)
-    "swin_bs32_phase2": lambda it: bench_swin_gated(
-        32, max(it // 2, 5), fused_bwd=True),
+    # kernel-gate A/Bs (module-level flags, cache-cleared per run).
+    # No fused_bwd=True config: at Swin-B shapes True resolves to the
+    # same per-stage split as "auto" (stage 4's 12.6 MB dW slab OOMed
+    # scoped VMEM at 18.01M/16M on hardware — the feasibility fallback
+    # in window_attention.py records that negative).
     "swin_bs32_phase2auto": lambda it: bench_swin_gated(
         32, max(it // 2, 5), fused_bwd="auto"),
     "swin_bs32_quadshift": lambda it: bench_swin_gated(

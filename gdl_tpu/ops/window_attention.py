@@ -1128,17 +1128,26 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
 # parametrized over the gate in tests/test_swin.py). Values:
 #   False  — phase-1 split everywhere (bwd attention kernel + XLA
 #            dx/dW/db GEMMs from its dqkv output).
-#   True   — fused everywhere.
+#   True   — fused wherever the dW slab is COMPILABLE (see
+#            _DW_SLAB_FEASIBLE below — hardware A/B measured 18.01M
+#            scoped VMEM at stage 4, c=1024: the 12.6 MB resident slab
+#            plus ~5.4 MB of blocks+temporaries blows the 16 MB limit,
+#            so stage 4 always falls back to the phase-1 split).
 #   "auto" — fused only where the in-kernel dW reduction slab
 #            ([hg, c, 3·gd] f32 = 3c²·4 bytes, VMEM-resident for the
 #            whole grid, one HBM write) fits the VMEM budget: Swin-B
 #            stages 1-3 (c=128/256/512 → 0.2/0.8/3.1 MB) qualify;
 #            stage 4 (c=1024 → 12.6 MB) would crowd out the working
 #            set and stays on the phase-1 split.
-# Default pending hardware A/B of False vs True vs "auto".
+# At Swin-B shapes True and "auto" therefore select the SAME per-stage
+# split; the A/B that matters on hardware is False vs "auto".
 FUSED_PROJECTION_BACKWARD = False
 
-_DW_SLAB_VMEM_CAP = 4_194_304  # 4 MB
+_DW_SLAB_VMEM_CAP = 4_194_304  # 4 MB ("auto" win-heuristic)
+# hard compilability bound: measured blocks+temps alongside the slab are
+# ~5.4 MB (stage-4 OOM forensics), so any slab past ~9 MB cannot fit the
+# 16 MB scoped-VMEM limit regardless of heuristics
+_DW_SLAB_FEASIBLE = 9_000_000
 
 
 def _fused_bwd_wins(b, n_pad, c, Gb_fused):
@@ -1162,6 +1171,11 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         while Gb_f > 1 and Gb_f * n_pad * c * 6 > 2_500_000:
             Gb_f //= 2
         mode = _fused_bwd_wins(b, n_pad, c, Gb_f)
+    elif mode:
+        # True = fused wherever compilable: the resident dW slab must
+        # leave room for the block working set (stage-4 OOM measured —
+        # see the gate comment)
+        mode = hg * c * 3 * gd * 4 <= _DW_SLAB_FEASIBLE
     if not mode:
         # phase-1 split: unchanged attention backward kernel, then the
         # projection backward as plain GEMMs (same math and rounding as
