@@ -291,7 +291,9 @@ CONFIGS = {
     # must report the same number (verifies the eval path ignores the flag).
     "swin_eval_bs16_pallas_gatecheck": lambda it: bench_swin_eval(
         16, it, pallas=True),
-    # forward-only fused eval kernel (use_pallas_attn_eval)
+    # forward-only fused eval kernel (use_pallas_attn_eval — the shipped
+    # default after the A/B: 13.21 vs 13.96 ms/step; swin_eval_bs16
+    # above measures the XLA eval path it replaced)
     "swin_eval_bs16_fused": lambda it: bench_swin_eval(
         16, it, pallas=True, fused_eval=True),
     # kernel-gate A/Bs (module-level flags, cache-cleared per run).

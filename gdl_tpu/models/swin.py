@@ -99,6 +99,9 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
 # quadrant form gives XLA smaller concat operands sliced straight from
 # the input. Which one the TPU compiler lowers to fewer copy kernels is
 # an empirical question — flip to A/B (module-level, read at trace time).
+# MEASURED: a wash on the dual-Swin-B joint step bs32 (146.29 ms
+# quadrant vs 146.96 sequential, inside tunnel variance) — the default
+# stays the simpler sequential form.
 SHIFT_QUADRANT_LOWERING = False
 
 
@@ -205,9 +208,10 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     use_pallas: bool = False
     fuse_qkv: bool = True
-    pallas_eval: bool = False  # forward-only fused kernel at EVAL too
-    # (no residual writes) — OFF until measured against the XLA eval
-    # forward that beat the save-p kernel (14.57 vs 16.8 ms)
+    pallas_eval: bool = True  # forward-only fused kernel at EVAL too
+    # (no residual writes) — measured 13.21 vs 13.96 ms/step dual-Swin-B
+    # eval bs16 against the XLA eval forward (which had beaten the
+    # save-p training kernel's pure forward 14.57 vs 16.8)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -311,7 +315,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: bool = False
     fuse_qkv: bool = True
-    pallas_eval: bool = False
+    pallas_eval: bool = True
     resident: bool = False
     dtype: Any = jnp.float32
 
@@ -431,8 +435,8 @@ class SwinTransformer(nn.Module):
     use_pallas_attn: bool = False
     fuse_qkv_gemm: bool = True  # run the qkv projection INSIDE the Pallas
     # kernel (layout-conversion copies; see WindowAttention)
-    pallas_attn_eval: bool = False  # forward-only fused kernel at eval
-    # (opt-in pending measurement; see WindowAttention.pallas_eval)
+    pallas_attn_eval: bool = True  # forward-only fused kernel at eval
+    # (measured win, see WindowAttention.pallas_eval)
     use_checkpoint: bool = False  # rematerialize blocks (the reference
     # ctor's use_checkpoint flag) — trades recompute for activation memory
     window_resident: bool = False  # keep the token stream window-major

@@ -1141,6 +1141,12 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
 #            set and stays on the phase-1 split.
 # At Swin-B shapes True and "auto" therefore select the SAME per-stage
 # split; the A/B that matters on hardware is False vs "auto".
+# MEASURED: "auto" LOSES — dual-Swin-B joint bs32 154.37 ms vs 146.96
+# phase-1 split (207.3 vs 217.7 clips/s). The resident dW slab forces
+# hi-fastest grid order + halved Gb blocks, and that re-walks the
+# [G,Np,C] x operand and the f32 dx scratch once per head group —
+# ~2.2 MB/step-site of extra VMEM traffic that outweighs the one dqkv
+# HBM round trip it saves. Default stays the phase-1 split.
 FUSED_PROJECTION_BACKWARD = False
 
 _DW_SLAB_VMEM_CAP = 4_194_304  # 4 MB ("auto" win-heuristic)
