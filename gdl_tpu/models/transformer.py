@@ -29,6 +29,14 @@ trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 # the per-module use_pallas field and the TPU/train check.
 SA_PALLAS_ENABLED = True
 
+# Attention-prob dropout implementation inside the fused kernel:
+# 'kernel' = in-kernel Mosaic PRNG, regenerated in the backward — the
+# profiled mmformer step spends ~10% materializing/copying/re-reading
+# the score-sized HBM masks ('hbm'). Read at trace time; TPU-only
+# (the op falls back to 'hbm' off-TPU). Mask bits differ from 'hbm'
+# (implementation-defined, same class as cfg.fast_dropout_rng).
+SA_DROPOUT_IMPL = "kernel"
+
 MODALITY_COMBINATIONS = np.array(
     [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1],
      [1, 1, 1]], np.float32)
@@ -73,7 +81,8 @@ class SelfAttention(nn.Module):
             out = self_attention_qkv(
                 qkv.reshape(b, n, 3, self.dim), self.heads,
                 scale=head_dim ** -0.5, dropout_rate=self.dropout_rate,
-                dropout_rng=rng, train=True)
+                dropout_rng=rng, train=True,
+                dropout_impl=_t.SA_DROPOUT_IMPL)
         else:
             qkv = qkv.reshape(b, n, 3, self.heads, head_dim).transpose(
                 2, 0, 3, 1, 4)

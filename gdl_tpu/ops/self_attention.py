@@ -11,11 +11,27 @@ same lane-blocked addressing as ops/window_attention.py, no transpose in
 HBM), computes softmax(q k^T * scale) with attention-probability dropout
 FUSED, and returns [B, N, C].
 
-Dropout design: the {0, 1/(1-rate)} mask is generated OUTSIDE the kernel
-by one XLA RngBitGenerator op (cfg.fast_dropout_rng's 'rbg' keys make
-this a single fused op) in the kernel's packed layout, and the SAME array
-feeds the backward kernel as a residual — bitwise-deterministic backward,
-no in-kernel PRNG state, and the interpret-mode CPU fallback stays exact.
+Dropout design, two implementations:
+
+'hbm' — the {0, 1/(1-rate)} mask is generated OUTSIDE the kernel by one
+XLA RngBitGenerator op (cfg.fast_dropout_rng's 'rbg' keys make this a
+single fused op) in the kernel's packed layout, and the SAME array feeds
+the backward kernel as a residual — bitwise-deterministic backward, no
+in-kernel PRNG state, and the interpret-mode CPU fallback stays exact.
+
+'kernel' — the mask bits are generated INSIDE the kernel by the Mosaic
+PRNG (pltpu.prng_seed + prng_random_bits, seeded per grid block from two
+words folded out of the dropout key) and REGENERATED identically in the
+backward kernel — verified on v5e: the bit stream is a deterministic
+function of (seed words, draw shape) only, identical across different
+kernel programs. Nothing score-sized ever reaches HBM for dropout: at
+mmformer shapes the 'hbm' path materializes a 315 MB u32 rbg output, a
+315 MB layout copy ({2,3,1,0}→{3,2,1,0} — XLA prefers the less-padded
+lane dim for the rbg, the kernel needs row-major), a 157 MB bf16 mask,
+plus fwd+bwd mask reads, PER fusion pass — ~10% of the profiled step.
+Mask bits differ from 'hbm' (different PRNG); the keep probability is
+exact to 2^-32 — the same implementation-defined-bits class of change as
+cfg.fast_dropout_rng. Both backwards are bitwise-deterministic.
 
 Backward is a second Pallas kernel from the saved softmax residual
 (save-p, the round-2 window-attention lever): no score recompute; dv/dp
@@ -44,14 +60,48 @@ def _blockmask(g: int, d: int, gd: int, dtype):
     return (col_head == row_head).astype(dtype)  # [g, gd]
 
 
-def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, has_dropout):
+def _seed_block_prng(seed_ref):
+    """Seed the per-core Mosaic PRNG from the two key words + the grid
+    position (prng_seed takes at most 2 words on this toolchain — mix
+    the block position in with golden-ratio odd constants so distinct
+    blocks draw distinct streams; fwd and bwd kernels at the same block
+    re-derive the SAME stream)."""
+    hi, i = pl.program_id(0), pl.program_id(1)
+    s0 = seed_ref[0] ^ (hi * jnp.int32(-1640531527))
+    s1 = seed_ref[1] ^ (i * jnp.int32(-2048144789)
+                        + hi * jnp.int32(1013904223))
+    pltpu.prng_seed(s0, s1)
+
+
+def _kernel_keep_mask(seed_ref, shape, keep_thresh):
+    """Regenerable {0,1} keep mask: u32 stream < thresh (keep prob exact
+    to 2^-32). f32 so the caller folds in the 1/(1-rate) scale.
+    prng_random_bits yields i32 — bitcast to u32 or the comparison goes
+    SIGNED (measured keep-rate 0.39 instead of 0.9)."""
+    _seed_block_prng(seed_ref)
+    bits = pltpu.prng_random_bits(shape)
+    ubits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    return (ubits < jnp.uint32(keep_thresh)).astype(jnp.float32)
+
+
+def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, dropout_mode,
+                   keep_thresh=0, inv_keep=1.0, emit_mask=False):
     """One grid step: G batch rows of ONE head-group.
 
-    blocks: qkv [G, Np, 3, gd]; mask [1, G, g*Np, Np] ({0, 1/(1-rate)},
-    present only when has_dropout); o [G, Np, gd]; p residual
-    [1, G, g*Np, Np] (PRE-dropout softmax)."""
-    if has_dropout:
+    blocks: qkv [G, Np, 3, gd]; o [G, Np, gd]; p residual
+    [1, G, g*Np, Np] (PRE-dropout softmax). dropout_mode: 0 none;
+    1 'hbm' — a [1, G, g*Np, Np] {0, 1/(1-rate)} mask input precedes o;
+    2 'kernel' — a (2,) SMEM seed input precedes o and the mask is
+    Mosaic-PRNG-generated in place (emit_mask additionally writes the
+    {0,1} keep mask after p — the verification entry)."""
+    mask_ref = seed_ref = m_out_ref = None
+    if dropout_mode == 1:
         mask_ref, o_ref, p_ref = refs
+    elif dropout_mode == 2:
+        if emit_mask:
+            seed_ref, o_ref, p_ref, m_out_ref = refs
+        else:
+            seed_ref, o_ref, p_ref = refs
     else:
         o_ref, p_ref = refs
     q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
@@ -70,8 +120,13 @@ def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, has_dropout):
     s = jnp.where(col < n_valid, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     p_ref[0] = p.astype(p_ref.dtype)
-    if has_dropout:
+    if dropout_mode == 1:
         p = p * mask_ref[0].astype(jnp.float32)
+    elif dropout_mode == 2:
+        keep = _kernel_keep_mask(seed_ref, p.shape, keep_thresh)
+        if emit_mask:
+            m_out_ref[0] = keep.astype(m_out_ref.dtype)
+        p = p * (keep * jnp.float32(inv_keep))
     out_full = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -81,10 +136,15 @@ def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, has_dropout):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, has_dropout):
-    """Backward from the saved PRE-dropout softmax p + the same mask."""
-    if has_dropout:
+def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, dropout_mode,
+                   keep_thresh=0, inv_keep=1.0):
+    """Backward from the saved PRE-dropout softmax p + the same mask
+    (read back in 'hbm' mode, PRNG-regenerated in 'kernel' mode)."""
+    mask_ref = seed_ref = None
+    if dropout_mode == 1:
         mask_ref, dout_ref, dqkv_ref = refs
+    elif dropout_mode == 2:
+        seed_ref, dout_ref, dqkv_ref = refs
     else:
         dout_ref, dqkv_ref = refs
     qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
@@ -95,8 +155,15 @@ def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, has_dropout):
     G, np_, gd = qs.shape
     bm = _blockmask(g, d, gd, qs.dtype)
 
-    if has_dropout:
+    if dropout_mode == 1:
         m = mask_ref[0].astype(jnp.float32)
+        p_d = p * m
+    elif dropout_mode == 2:
+        # SAME bits as the forward drew: same seed words, same block
+        # position, same draw shape (hardware-verified deterministic
+        # across kernel programs)
+        m = _kernel_keep_mask(seed_ref, p.shape,
+                              keep_thresh) * jnp.float32(inv_keep)
         p_d = p * m
     else:
         p_d = p
@@ -112,7 +179,7 @@ def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, has_dropout):
     dp = jax.lax.dot_general(
         dout_bd, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [G, g*Np, Np]
-    if has_dropout:
+    if dropout_mode:
         dp = dp * m
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
 
@@ -146,15 +213,19 @@ def _specs(G, n_pad, g, gd):
     )
 
 
-def _pick_block(b: int, n_pad: int, g: int, backward: bool) -> int:
+def _pick_block(b: int, n_pad: int, g: int, backward: bool,
+                kernel_dropout: bool = False) -> int:
     """Largest G dividing b whose Mosaic stack stays under the 16 MB
     scoped-vmem limit. MEASURED (v5e, Np=200, g=2): the forward kernel's
     stack is ~2.54 MB per batch row — ≈8 score-sized f32 arrays live
     (s, p, the iota/where temps, softmax max/sum broadcasts, and the
     dot operand copies), far above the naive s+p count; G=8 OOMs by
     4.35 MB, G=4 fits. The backward holds p/dp/ds plus the same temps —
-    budget it ~25% more."""
+    budget it ~25% more. In-kernel PRNG dropout adds the u32 bits draw
+    + the f32 keep mask (~2 more score-sized arrays)."""
     live = 10 if backward else 8
+    if kernel_dropout:
+        live += 2
     budget = 13 * 2 ** 20
     per_row = g * n_pad * n_pad * 4 * live
     G = max(1, budget // per_row)
@@ -163,56 +234,88 @@ def _pick_block(b: int, n_pad: int, g: int, backward: bool) -> int:
     return G
 
 
+def _pick_block_kernel_dropout(b: int, n_pad: int, g: int) -> int:
+    """'kernel' dropout needs fwd and bwd to draw the SAME per-block bit
+    stream, so both use one (the more constrained, backward) block size."""
+    return min(_pick_block(b, n_pad, g, backward=False, kernel_dropout=True),
+               _pick_block(b, n_pad, g, backward=True, kernel_dropout=True))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _sa_core(static, qkvp, maskp):
     return _sa_fwd(static, qkvp, maskp)[0]
 
 
-def _sa_fwd(static, qkvp, maskp):
-    g, d, n_valid, scale, has_dropout = static
+def _sa_fwd(static, qkvp, maskp, emit_mask=False):
+    g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
-    G = _pick_block(b, n_pad, g, backward=False)
+    if dropout_mode == 2:
+        G = _pick_block_kernel_dropout(b, n_pad, g)
+    else:
+        G = _pick_block(b, n_pad, g, backward=False)
     specs = _specs(G, n_pad, g, gd)
     in_specs = [specs["qkv"]]
     args = [qkvp]
-    if has_dropout:
+    if dropout_mode == 1:
         in_specs.append(specs["score"])
         args.append(maskp)
-    out, p = pl.pallas_call(
+    elif dropout_mode == 2:  # maskp is the (2,) i32 seed words
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(maskp)
+    out_specs = [specs["out"], specs["score"]]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
+        jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), qkvp.dtype),
+    ]
+    if emit_mask:  # verification entry: also write the {0,1} keep mask
+        out_specs.append(specs["score"])
+        out_shape.append(
+            jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_sa_fwd_kernel, g=g, d=d, n_valid=n_valid,
-                          scale=scale, has_dropout=has_dropout),
+                          scale=scale, dropout_mode=dropout_mode,
+                          keep_thresh=keep_thresh, inv_keep=inv_keep,
+                          emit_mask=emit_mask),
         grid=(hg, b // G),
         in_specs=in_specs,
-        out_specs=[specs["out"], specs["score"]],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, hg * gd), qkvp.dtype),
-            jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), qkvp.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(*args)
+    if emit_mask:
+        out, p, keep = outs
+        return out, (qkvp, p, maskp), keep
+    out, p = outs
     return out, (qkvp, p, maskp)
 
 
 def _sa_bwd(static, res, dout):
-    g, d, n_valid, scale, has_dropout = static
+    g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
     qkvp, p, maskp = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
-    G = _pick_block(b, n_pad, g, backward=True)
+    if dropout_mode == 2:
+        G = _pick_block_kernel_dropout(b, n_pad, g)
+    else:
+        G = _pick_block(b, n_pad, g, backward=True)
     specs = _specs(G, n_pad, g, gd)
     in_specs = [specs["qkv"], specs["score"]]
     args = [qkvp, p]
-    if has_dropout:
+    if dropout_mode == 1:
         in_specs.append(specs["score"])
+        args.append(maskp)
+    elif dropout_mode == 2:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(maskp)
     in_specs.append(specs["out"])
     args.append(dout)
     dqkvp = pl.pallas_call(
         functools.partial(_sa_bwd_kernel, g=g, d=d, scale=scale,
-                          has_dropout=has_dropout),
+                          dropout_mode=dropout_mode,
+                          keep_thresh=keep_thresh, inv_keep=inv_keep),
         grid=(hg, b // G),
         in_specs=in_specs,
         out_specs=specs["qkv"],
@@ -225,20 +328,45 @@ def _sa_bwd(static, res, dout):
 _sa_core.defvjp(_sa_fwd, _sa_bwd)
 
 
+def _fold_seed_words(dropout_rng) -> jnp.ndarray:
+    """XOR-fold a dropout key (typed key, threefry 2-word or rbg 4-word
+    uint32 data) into the (2,) i32 seed words the Mosaic-PRNG dropout
+    kernels consume — the only dropout state that touches HBM in
+    'kernel' mode."""
+    if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(dropout_rng)
+    else:
+        kd = dropout_rng
+    kd = jnp.asarray(kd, jnp.uint32).reshape(-1)
+    nw = kd.shape[0]  # static word count
+    s0, s1 = kd[0], kd[1 % nw]
+    for i in range(2, nw, 2):
+        s0 = s0 ^ kd[i]
+    for i in range(3, nw, 2):
+        s1 = s1 ^ kd[i]
+    return jnp.stack([s0, s1]).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
-                                             "dropout_rate", "train"))
+                                             "dropout_rate", "train",
+                                             "dropout_impl"))
 def self_attention_qkv(qkv: jnp.ndarray, num_heads: int,
                        scale: Optional[float] = None,
                        dropout_rate: float = 0.0,
                        dropout_rng: Optional[jax.Array] = None,
-                       train: bool = False) -> jnp.ndarray:
+                       train: bool = False,
+                       dropout_impl: str = "hbm") -> jnp.ndarray:
     """Fused multi-head self-attention on the packed qkv projection.
 
     qkv: [B, N, 3, C] (the [B, N, 3C] Dense output reshaped; column order
     [3, H, dh]). Returns [B, N, C] in the same head-concatenated layout
     the proj Dense expects. Differentiable (save-p backward kernel); the
-    attention-probability dropout (train only) is fused, with its mask
-    drawn outside by one RngBitGenerator op and shared with backward."""
+    attention-probability dropout (train only) is fused. dropout_impl:
+    'hbm' draws the mask outside by one RngBitGenerator op and shares the
+    array with the backward kernel; 'kernel' generates the bits with the
+    in-kernel Mosaic PRNG and REGENERATES them in the backward (nothing
+    score-sized touches HBM — see the module docstring; TPU only, falls
+    back to 'hbm' elsewhere)."""
     b, n, three, c = qkv.shape
     assert three == 3
     d = c // num_heads
@@ -252,18 +380,35 @@ def self_attention_qkv(qkv: jnp.ndarray, num_heads: int,
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
 
     has_dropout = bool(train and dropout_rate > 0.0)
-    if has_dropout:
-        if dropout_rng is None:
-            raise ValueError("dropout_rate > 0 at train needs dropout_rng")
+    if has_dropout and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 at train needs dropout_rng")
+    if dropout_impl == "kernel" and jax.default_backend() != "tpu":
+        # the Mosaic PRNG has no interpret-mode lowering on this
+        # toolchain — CPU (tests) takes the HBM-mask path
+        dropout_impl = "hbm"
+
+    keep_thresh, inv_keep = 0, 1.0
+    if not has_dropout:
+        # 1-row placeholder rides the residuals but never enters a kernel
+        dropout_mode = 0
+        maskp = jnp.zeros((hg, b, g, n_pad), qkv.dtype)
+    elif dropout_impl == "kernel":
+        dropout_mode = 2
+        # keep prob as a u32 threshold (exact to 2^-32); the (2,) seed
+        # words are an XOR fold of the key data — the only dropout state
+        # that ever touches HBM in this mode
+        keep_thresh = min(int(round((1.0 - dropout_rate) * 2 ** 32)),
+                          2 ** 32 - 1)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        maskp = _fold_seed_words(dropout_rng)
+    else:
+        dropout_mode = 1
         keep = jax.random.bernoulli(
             dropout_rng, 1.0 - dropout_rate, (hg, b, g * n_pad, n_pad))
         maskp = keep.astype(qkv.dtype) * jnp.asarray(
             1.0 / (1.0 - dropout_rate), qkv.dtype)
-    else:
-        # 1-row placeholder rides the residuals but never enters a kernel
-        maskp = jnp.zeros((hg, b, g, n_pad), qkv.dtype)
 
-    static = (g, d, n, scale, has_dropout)
+    static = (g, d, n, scale, dropout_mode, keep_thresh, inv_keep)
     out = _sa_core(static, qkvp, maskp)  # [B, Np, C]
     return out[:, :n]
 

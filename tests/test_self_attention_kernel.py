@@ -110,6 +110,43 @@ def test_dropout_forward_and_grad_match_mask_oracle(case):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_kernel_impl_falls_back_to_hbm_off_tpu():
+    """dropout_impl='kernel' needs the Mosaic PRNG (TPU-only); off-TPU
+    it must silently take the 'hbm' path — identical output, same mask.
+    (The TPU-side semantics are verified on hardware by
+    tools/verify_kernel_dropout.py.)"""
+    b, n, heads, c = 2, 52, 8, 512
+    qkv = _qkv(b, n, c, seed=5)
+    rng = jax.random.PRNGKey(11)
+    kw = dict(dropout_rate=0.3, dropout_rng=rng, train=True)
+    a = self_attention_qkv(qkv, heads, dropout_impl="kernel", **kw)
+    h = self_attention_qkv(qkv, heads, dropout_impl="hbm", **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(h))
+
+
+def test_fold_seed_words_key_formats():
+    """The Mosaic-PRNG seed fold accepts typed keys, raw threefry
+    2-word data, and rbg 4-word data; (2,) i32, deterministic, and
+    key-dependent."""
+    from gdl_tpu.ops.self_attention import _fold_seed_words
+
+    typed = jax.random.PRNGKey(3)
+    raw2 = jax.random.key_data(typed)
+    raw4 = jnp.arange(4, dtype=jnp.uint32)
+    for k in (typed, raw2, raw4):
+        s = _fold_seed_words(k)
+        assert s.shape == (2,) and s.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(s),
+                                      np.asarray(_fold_seed_words(k)))
+    # typed key and its own key_data fold identically
+    np.testing.assert_array_equal(np.asarray(_fold_seed_words(typed)),
+                                  np.asarray(_fold_seed_words(raw2)))
+    # different keys -> different seed words
+    assert not np.array_equal(
+        np.asarray(_fold_seed_words(jax.random.PRNGKey(3))),
+        np.asarray(_fold_seed_words(jax.random.PRNGKey(4))))
+
+
 def test_dropout_requires_rng():
     qkv = _qkv(2, 8, 128)
     with pytest.raises(ValueError):
