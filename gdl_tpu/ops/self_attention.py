@@ -115,9 +115,10 @@ def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, dropout_mode,
     s = jax.lax.dot_general(
         q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [G, g*Np, Np]
-    # padded keys (columns >= n_valid) never receive weight
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < n_valid, s, -1e30)
+    if n_valid < np_:  # static: padded keys never receive weight; the
+        # unpadded shapes (inter N=392) skip the iota/where passes
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     p_ref[0] = p.astype(p_ref.dtype)
     if dropout_mode == 1:

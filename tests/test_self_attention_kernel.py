@@ -20,6 +20,7 @@ CASES = [
     dict(b=4, n=20, heads=4, c=128),   # g=4 (d=32)
     dict(b=2, n=52, heads=8, c=512),   # g=2 (d=64) — the mmformer shape
     dict(b=3, n=9, heads=2, c=256),    # odd N -> padded rows live
+    dict(b=2, n=16, heads=4, c=128),   # N == n_pad -> static where-skip
 ]
 
 
