@@ -211,7 +211,10 @@ def _measure_mmformer(batch_size: int = 64, iters: int = 10):
              "visual": jax.random.normal(r, (batch_size, 1, 224, 224, 3)),
              "label": jnp.zeros((batch_size,), jnp.int32)}
     dt = _chained_ms_per_step(raw, state, batch, iters)
-    return batch_size / dt
+    flops = _flops_per_step(jax.jit(raw), state, batch)
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops / dt / peak) if (flops and peak) else None
+    return batch_size / dt, mfu
 
 
 def main(_retry: bool = True):
@@ -251,7 +254,10 @@ def main(_retry: bool = True):
             pass
     if time.perf_counter() - t_start < MMFORMER_DEADLINE_S:
         try:
-            out["mmformer_clips_per_sec"] = round(_measure_mmformer(), 2)
+            mmf_clips, mmf_mfu = _measure_mmformer()
+            out["mmformer_clips_per_sec"] = round(mmf_clips, 2)
+            if mmf_mfu:
+                out["mmformer_mfu"] = round(mmf_mfu, 4)
         except Exception:
             pass
     print(json.dumps(out))

@@ -84,6 +84,43 @@ def _kernel_keep_mask(seed_ref, shape, keep_thresh):
     return (ubits < jnp.uint32(keep_thresh)).astype(jnp.float32)
 
 
+def _sa_attn_tail(q, k, v, *, g, d, n_valid, dropout_mode, keep_thresh,
+                  inv_keep, mask_ref, seed_ref, m_out_ref, o_ref, p_ref):
+    """Shared attention body (post-qkv): block-diagonal packed-head
+    softmax(q k^T) with fused attention-prob dropout. q arrives
+    PRE-SCALED. Used by both the qkv-input kernel and the fused-GEMM
+    kernel so the two entries stay bitwise-identical past the
+    projection."""
+    G, np_, gd = q.shape
+    bm = _blockmask(g, d, gd, q.dtype)
+
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
+    if n_valid < np_:  # static: padded keys never receive weight; the
+        # unpadded shapes (inter N=392) skip the iota/where passes
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p_ref[0] = p.astype(p_ref.dtype)
+    if dropout_mode == 1:
+        p = p * mask_ref[0].astype(jnp.float32)
+    elif dropout_mode == 2:
+        keep = _kernel_keep_mask(seed_ref, p.shape, keep_thresh)
+        if m_out_ref is not None:
+            m_out_ref[0] = keep.astype(m_out_ref.dtype)
+        p = p * (keep * jnp.float32(inv_keep))
+    out_full = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
 def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, dropout_mode,
                    keep_thresh=0, inv_keep=1.0, emit_mask=False):
     """One grid step: G batch rows of ONE head-group.
@@ -107,34 +144,47 @@ def _sa_fwd_kernel(qkv_ref, *refs, g, d, n_valid, scale, dropout_mode,
     q = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
     k = qkv_ref[:, :, 1, :]
     v = qkv_ref[:, :, 2, :]
-    G, np_, gd = q.shape
-    bm = _blockmask(g, d, gd, q.dtype)
+    _sa_attn_tail(q, k, v, g=g, d=d, n_valid=n_valid,
+                  dropout_mode=dropout_mode, keep_thresh=keep_thresh,
+                  inv_keep=inv_keep, mask_ref=mask_ref, seed_ref=seed_ref,
+                  m_out_ref=m_out_ref, o_ref=o_ref, p_ref=p_ref)
 
-    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
-        G, g * np_, gd)
-    s = jax.lax.dot_general(
-        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [G, g*Np, Np]
-    if n_valid < np_:  # static: padded keys never receive weight; the
-        # unpadded shapes (inter N=392) skip the iota/where passes
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < n_valid, s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    p_ref[0] = p.astype(p_ref.dtype)
+
+def _sa_xw_fwd_kernel(x_ref, w_ref, *refs, g, d, n_valid, scale,
+                      dropout_mode, keep_thresh=0, inv_keep=1.0):
+    """Fused-GEMM forward: the qkv projection runs IN-KERNEL (the swin
+    round-3b lever, ops/window_attention.py _wa_xw_t_savep_kernel) so the
+    [B, N, 3C] Dense output never round-trips HBM in XLA's GEMM layout —
+    the profiled mmformer step spent 4.6 ms/step of reshapes + 1.4 ms of
+    copies converting it to the kernel's [B, N, 3, C] T(4,128) tiling.
+
+    blocks: x [G, Np, C]; w [C, 3, gd] (one head-group's columns of the
+    Dense kernel reshaped [C, 3, HG*gd] — column order already [3,H,dh]);
+    outputs o / p as in _sa_fwd_kernel plus the qkv residual block
+    [G, Np, 3, gd] (kernel-produced, so the backward kernel reads it
+    copy-free in its own layout)."""
+    mask_ref = seed_ref = None
     if dropout_mode == 1:
-        p = p * mask_ref[0].astype(jnp.float32)
+        mask_ref, o_ref, p_ref, qkv_ref = refs
     elif dropout_mode == 2:
-        keep = _kernel_keep_mask(seed_ref, p.shape, keep_thresh)
-        if emit_mask:
-            m_out_ref[0] = keep.astype(m_out_ref.dtype)
-        p = p * (keep * jnp.float32(inv_keep))
-    out_full = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [G, g*Np, gd]
-    out = jnp.sum(out_full.reshape(G, g, np_, gd)
-                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
-    o_ref[...] = out.astype(o_ref.dtype)
+        seed_ref, o_ref, p_ref, qkv_ref = refs
+    else:
+        o_ref, p_ref, qkv_ref = refs
+    G, np_, c = x_ref.shape
+    gd = w_ref.shape[2]
+    qkv = jax.lax.dot_general(
+        x_ref[...].reshape(G * np_, c), w_ref[...].reshape(c, 3 * gd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv.reshape(G, np_, 3, gd).astype(qkv_ref.dtype)
+    qkv_ref[...] = qkv
+    q = qkv[:, :, 0, :] * jnp.asarray(scale, qkv.dtype)
+    k = qkv[:, :, 1, :]
+    v = qkv[:, :, 2, :]
+    _sa_attn_tail(q, k, v, g=g, d=d, n_valid=n_valid,
+                  dropout_mode=dropout_mode, keep_thresh=keep_thresh,
+                  inv_keep=inv_keep, mask_ref=mask_ref, seed_ref=seed_ref,
+                  m_out_ref=None, o_ref=o_ref, p_ref=p_ref)
 
 
 def _sa_bwd_kernel(qkv_ref, p_ref, *refs, g, d, scale, dropout_mode,
@@ -215,7 +265,8 @@ def _specs(G, n_pad, g, gd):
 
 
 def _pick_block(b: int, n_pad: int, g: int, backward: bool,
-                kernel_dropout: bool = False) -> int:
+                kernel_dropout: bool = False,
+                extra_row_bytes: int = 0) -> int:
     """Largest G dividing b whose Mosaic stack stays under the 16 MB
     scoped-vmem limit. MEASURED (v5e, Np=200, g=2): the forward kernel's
     stack is ~2.54 MB per batch row — ≈8 score-sized f32 arrays live
@@ -223,23 +274,33 @@ def _pick_block(b: int, n_pad: int, g: int, backward: bool,
     dot operand copies), far above the naive s+p count; G=8 OOMs by
     4.35 MB, G=4 fits. The backward holds p/dp/ds plus the same temps —
     budget it ~25% more. In-kernel PRNG dropout adds the u32 bits draw
-    + the f32 keep mask (~2 more score-sized arrays)."""
+    + the f32 keep mask (~2 more score-sized arrays). extra_row_bytes
+    accounts the fused-GEMM entry's non-score residents (the x block,
+    the f32 qkv dot result + its bf16 copy) per batch row."""
     live = 10 if backward else 8
     if kernel_dropout:
         live += 2
     budget = 13 * 2 ** 20
-    per_row = g * n_pad * n_pad * 4 * live
+    per_row = g * n_pad * n_pad * 4 * live + extra_row_bytes
     G = max(1, budget // per_row)
     while b % G:
         G -= 1
     return G
 
 
-def _pick_block_kernel_dropout(b: int, n_pad: int, g: int) -> int:
+def _pick_block_kernel_dropout(b: int, n_pad: int, g: int,
+                               extra_row_bytes: int = 0) -> int:
     """'kernel' dropout needs fwd and bwd to draw the SAME per-block bit
     stream, so both use one (the more constrained, backward) block size."""
-    return min(_pick_block(b, n_pad, g, backward=False, kernel_dropout=True),
+    return min(_pick_block(b, n_pad, g, backward=False, kernel_dropout=True,
+                           extra_row_bytes=extra_row_bytes),
                _pick_block(b, n_pad, g, backward=True, kernel_dropout=True))
+
+
+def _xw_extra_row_bytes(n_pad: int, c: int, gd: int) -> int:
+    """Fused-GEMM forward per-row VMEM extras: the x block (input dtype,
+    <=2B), the f32 qkv dot result and its low-precision copy."""
+    return n_pad * c * 2 + n_pad * 3 * gd * (4 + 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -292,16 +353,13 @@ def _sa_fwd(static, qkvp, maskp, emit_mask=False):
     return out, (qkvp, p, maskp)
 
 
-def _sa_bwd(static, res, dout):
+def _dqkv_pallas(static, qkvp, p, maskp, dout, G):
+    """Run the shared backward kernel (dqkv from the save-p residual) at
+    block size G — used by both the qkv-input and fused-GEMM cores."""
     g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
-    qkvp, p, maskp = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
-    if dropout_mode == 2:
-        G = _pick_block_kernel_dropout(b, n_pad, g)
-    else:
-        G = _pick_block(b, n_pad, g, backward=True)
     specs = _specs(G, n_pad, g, gd)
     in_specs = [specs["qkv"], specs["score"]]
     args = [qkvp, p]
@@ -313,7 +371,7 @@ def _sa_bwd(static, res, dout):
         args.append(maskp)
     in_specs.append(specs["out"])
     args.append(dout)
-    dqkvp = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_sa_bwd_kernel, g=g, d=d, scale=scale,
                           dropout_mode=dropout_mode,
                           keep_thresh=keep_thresh, inv_keep=inv_keep),
@@ -323,10 +381,97 @@ def _sa_bwd(static, res, dout):
         out_shape=jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
         interpret=jax.default_backend() != "tpu",
     )(*args)
+
+
+def _sa_bwd(static, res, dout):
+    g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
+    qkvp, p, maskp = res
+    b, n_pad, _, _ = qkvp.shape
+    if dropout_mode == 2:
+        G = _pick_block_kernel_dropout(b, n_pad, g)
+    else:
+        G = _pick_block(b, n_pad, g, backward=True)
+    dqkvp = _dqkv_pallas(static, qkvp, p, maskp, dout, G)
     return dqkvp, jnp.zeros_like(maskp)
 
 
 _sa_core.defvjp(_sa_fwd, _sa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sa_xw_core(static, xp, w3, maskp):
+    """Fused-GEMM core: xp [B, Np, C] (row-padded input), w3 the qkv
+    Dense kernel reshaped [C, 3, HG*gd] (column order already [3,H,dh]).
+    The forward kernel computes qkv in-VMEM and emits it as a residual
+    in its own layout; the backward runs the shared dqkv kernel on that
+    residual copy-free, then dx/dW are plain XLA GEMMs (the swin
+    round-3b phase-1 split — fusing them in was a measured LOSS there,
+    benchmarks/RESULTS.md)."""
+    return _sa_xw_fwd(static, xp, w3, maskp)[0]
+
+
+def _sa_xw_fwd(static, xp, w3, maskp):
+    g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
+    b, n_pad, c = xp.shape
+    gd = g * d
+    hg = w3.shape[2] // gd
+    extra = _xw_extra_row_bytes(n_pad, c, gd)
+    if dropout_mode == 2:
+        G = _pick_block_kernel_dropout(b, n_pad, g, extra)
+    else:
+        G = _pick_block(b, n_pad, g, backward=False, extra_row_bytes=extra)
+    specs = _specs(G, n_pad, g, gd)
+    in_specs = [
+        pl.BlockSpec((G, n_pad, c), lambda hi, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3, gd), lambda hi, i: (0, 0, hi),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w3]
+    if dropout_mode == 1:
+        in_specs.append(specs["score"])
+        args.append(maskp)
+    elif dropout_mode == 2:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(maskp)
+    out, p, qkvp = pl.pallas_call(
+        functools.partial(_sa_xw_fwd_kernel, g=g, d=d, n_valid=n_valid,
+                          scale=scale, dropout_mode=dropout_mode,
+                          keep_thresh=keep_thresh, inv_keep=inv_keep),
+        grid=(hg, b // G),
+        in_specs=in_specs,
+        out_specs=[specs["out"], specs["score"], specs["qkv"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, hg * gd), xp.dtype),
+            jax.ShapeDtypeStruct((hg, b, g * n_pad, n_pad), xp.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, 3, hg * gd), xp.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return out, (xp, w3, qkvp, p, maskp)
+
+
+def _sa_xw_bwd(static, res, dout):
+    g, d, n_valid, scale, dropout_mode, keep_thresh, inv_keep = static
+    xp, w3, qkvp, p, maskp = res
+    b, n_pad, c = xp.shape
+    gd = g * d
+    if dropout_mode == 2:
+        # the mask bits are a function of (block position, draw shape) —
+        # the backward must re-draw at the SAME G the fused forward used
+        G = _pick_block_kernel_dropout(b, n_pad, g,
+                                       _xw_extra_row_bytes(n_pad, c, gd))
+    else:
+        G = _pick_block(b, n_pad, g, backward=True)
+    dqkvp = _dqkv_pallas(static, qkvp, p, maskp, dout, G)
+    dx = jnp.einsum("bnto,cto->bnc", dqkvp, w3,
+                    preferred_element_type=jnp.float32).astype(xp.dtype)
+    dw3 = jnp.einsum("bnc,bnto->cto", xp, dqkvp,
+                     preferred_element_type=jnp.float32).astype(w3.dtype)
+    return dx, dw3, jnp.zeros_like(maskp)
+
+
+_sa_xw_core.defvjp(_sa_xw_fwd, _sa_xw_bwd)
 
 
 def _fold_seed_words(dropout_rng) -> jnp.ndarray:
@@ -346,6 +491,87 @@ def _fold_seed_words(dropout_rng) -> jnp.ndarray:
     for i in range(3, nw, 2):
         s1 = s1 ^ kd[i]
     return jnp.stack([s0, s1]).astype(jnp.int32)
+
+
+def _dropout_setup(train, dropout_rate, dropout_rng, dropout_impl,
+                   hg, b, g, n_pad, dtype):
+    """Shared (dropout_mode, keep_thresh, inv_keep, maskp) setup for the
+    qkv-input and fused-GEMM entries."""
+    has_dropout = bool(train and dropout_rate > 0.0)
+    if has_dropout and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 at train needs dropout_rng")
+    if dropout_impl == "kernel" and jax.default_backend() != "tpu":
+        # the Mosaic PRNG has no interpret-mode lowering on this
+        # toolchain — CPU (tests) takes the HBM-mask path
+        dropout_impl = "hbm"
+
+    keep_thresh, inv_keep = 0, 1.0
+    if not has_dropout:
+        # 1-row placeholder rides the residuals but never enters a kernel
+        dropout_mode = 0
+        maskp = jnp.zeros((hg, b, g, n_pad), dtype)
+    elif dropout_impl == "kernel":
+        dropout_mode = 2
+        # keep prob as a u32 threshold (exact to 2^-32); the (2,) seed
+        # words are an XOR fold of the key data — the only dropout state
+        # that ever touches HBM in this mode
+        keep_thresh = min(int(round((1.0 - dropout_rate) * 2 ** 32)),
+                          2 ** 32 - 1)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        maskp = _fold_seed_words(dropout_rng)
+    else:
+        dropout_mode = 1
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, (hg, b, g * n_pad, n_pad))
+        maskp = keep.astype(dtype) * jnp.asarray(
+            1.0 / (1.0 - dropout_rate), dtype)
+    return dropout_mode, keep_thresh, inv_keep, maskp
+
+
+def _pick_g(num_heads: int, d: int) -> int:
+    g = max(1, min(num_heads, 128 // d))
+    while num_heads % g:
+        g -= 1
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "dropout_rate", "train",
+                                             "dropout_impl"))
+def self_attention_fused(x: jnp.ndarray, kernel: jnp.ndarray,
+                         num_heads: int,
+                         scale: Optional[float] = None,
+                         dropout_rate: float = 0.0,
+                         dropout_rng: Optional[jax.Array] = None,
+                         train: bool = False,
+                         dropout_impl: str = "hbm") -> jnp.ndarray:
+    """Fused multi-head self-attention INCLUDING the qkv projection GEMM.
+
+    x: [B, N, C] (the LayerNorm output, already in compute dtype);
+    kernel: [C, 3C] (the qkv Dense kernel, cast to compute dtype —
+    column order [3, H, dh] as nn.Dense(3*dim) produces). Returns
+    [B, N, C]. Semantics identical to
+    self_attention_qkv((x @ kernel).reshape(B, N, 3, C), ...) — same
+    packed-head kernels past the projection (bitwise in f32 interpret
+    mode; the in-kernel GEMM rounds like XLA's bf16 GEMM on TPU) — but
+    the projection output never round-trips HBM in XLA's layout: the
+    kernel writes the qkv residual in its OWN tiling and the backward
+    reads it copy-free (the swin fused-qkv lever, +4% there)."""
+    b, n, c = x.shape
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    g = _pick_g(num_heads, d)
+    hg = num_heads // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    w3 = kernel.reshape(c, 3, hg * gd)
+    dropout_mode, keep_thresh, inv_keep, maskp = _dropout_setup(
+        train, dropout_rate, dropout_rng, dropout_impl,
+        hg, b, g, n_pad, x.dtype)
+    static = (g, d, n, scale, dropout_mode, keep_thresh, inv_keep)
+    out = _sa_xw_core(static, xp, w3, maskp)  # [B, Np, C]
+    return out[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
@@ -372,43 +598,13 @@ def self_attention_qkv(qkv: jnp.ndarray, num_heads: int,
     assert three == 3
     d = c // num_heads
     scale = scale if scale is not None else d ** -0.5
-    g = max(1, min(num_heads, 128 // d))
-    while num_heads % g:
-        g -= 1
+    g = _pick_g(num_heads, d)
     hg = num_heads // g
-    gd = g * d
     n_pad = _round_up(n, 8)
     qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
-
-    has_dropout = bool(train and dropout_rate > 0.0)
-    if has_dropout and dropout_rng is None:
-        raise ValueError("dropout_rate > 0 at train needs dropout_rng")
-    if dropout_impl == "kernel" and jax.default_backend() != "tpu":
-        # the Mosaic PRNG has no interpret-mode lowering on this
-        # toolchain — CPU (tests) takes the HBM-mask path
-        dropout_impl = "hbm"
-
-    keep_thresh, inv_keep = 0, 1.0
-    if not has_dropout:
-        # 1-row placeholder rides the residuals but never enters a kernel
-        dropout_mode = 0
-        maskp = jnp.zeros((hg, b, g, n_pad), qkv.dtype)
-    elif dropout_impl == "kernel":
-        dropout_mode = 2
-        # keep prob as a u32 threshold (exact to 2^-32); the (2,) seed
-        # words are an XOR fold of the key data — the only dropout state
-        # that ever touches HBM in this mode
-        keep_thresh = min(int(round((1.0 - dropout_rate) * 2 ** 32)),
-                          2 ** 32 - 1)
-        inv_keep = 1.0 / (1.0 - dropout_rate)
-        maskp = _fold_seed_words(dropout_rng)
-    else:
-        dropout_mode = 1
-        keep = jax.random.bernoulli(
-            dropout_rng, 1.0 - dropout_rate, (hg, b, g * n_pad, n_pad))
-        maskp = keep.astype(qkv.dtype) * jnp.asarray(
-            1.0 / (1.0 - dropout_rate), qkv.dtype)
-
+    dropout_mode, keep_thresh, inv_keep, maskp = _dropout_setup(
+        train, dropout_rate, dropout_rng, dropout_impl,
+        hg, b, g, n_pad, qkv.dtype)
     static = (g, d, n, scale, dropout_mode, keep_thresh, inv_keep)
     out = _sa_core(static, qkvp, maskp)  # [B, Np, C]
     return out[:, :n]

@@ -12,6 +12,7 @@ import pytest
 
 from gdl_tpu.ops.self_attention import (
     _round_up,
+    self_attention_fused,
     self_attention_qkv,
     self_attention_xla,
 )
@@ -146,6 +147,99 @@ def test_fold_seed_words_key_formats():
     assert not np.array_equal(
         np.asarray(_fold_seed_words(jax.random.PRNGKey(3))),
         np.asarray(_fold_seed_words(jax.random.PRNGKey(4))))
+
+
+def _xw(b, n, c, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((c, 3 * c)) / np.sqrt(c)
+                     ).astype(np.float32))
+    return x, w
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_fused_forward_matches_xla(case):
+    """self_attention_fused(x, W) == the XLA oracle on qkv = x @ W —
+    the in-kernel projection GEMM changes the layout path, not the
+    math."""
+    b, n, heads, c = case["b"], case["n"], case["heads"], case["c"]
+    x, w = _xw(b, n, c, seed=6)
+    ours = self_attention_fused(x, w, heads)
+    ref = self_attention_xla((x @ w).reshape(b, n, 3, c), heads)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", CASES[:2])
+def test_fused_gradient_matches_xla(case):
+    """dx AND dW through the fused entry (custom_vjp: shared dqkv kernel
+    + XLA dx/dW GEMMs) match autodiff through the XLA oracle."""
+    b, n, heads, c = case["b"], case["n"], case["heads"], case["c"]
+    x, w = _xw(b, n, c, seed=7)
+    cot = _qkv(b, n, c, seed=8)[:, :, 0, :]
+
+    def loss_k(x, w):
+        return jnp.sum(self_attention_fused(x, w, heads) * cot)
+
+    def loss_x(x, w):
+        return jnp.sum(self_attention_xla(
+            (x @ w).reshape(b, n, 3, c), heads) * cot)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dropout_matches_qkv_path():
+    """With the same rng the fused entry draws the SAME 'hbm' mask as the
+    qkv-input entry — forward and input-gradient agree to fp32
+    tolerance (only the projection GEMM moved inside)."""
+    b, n, heads, c = 2, 52, 8, 512
+    rate = 0.3
+    x, w = _xw(b, n, c, seed=9)
+    rng = jax.random.PRNGKey(13)
+    kw = dict(dropout_rate=rate, dropout_rng=rng, train=True,
+              dropout_impl="hbm")
+    fused = self_attention_fused(x, w, heads, **kw)
+    split = self_attention_qkv((x @ w).reshape(b, n, 3, c), heads, **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = _qkv(b, n, c, seed=10)[:, :, 0, :]
+    gf = jax.grad(lambda xx: jnp.sum(
+        self_attention_fused(xx, w, heads, **kw) * cot))(x)
+    gs = jax.grad(lambda xx: jnp.sum(self_attention_qkv(
+        (xx @ w).reshape(b, n, 3, c), heads, **kw) * cot))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_module_param_tree_and_init_preserved():
+    """SelfAttention now declares the qkv kernel via _SaQkvParams instead
+    of nn.Dense — the param tree (qkv/kernel) and the init draw must be
+    BITWISE what nn.Dense produced (checkpoints + torch-interop name map
+    stay valid)."""
+    from flax import linen as nn
+
+    from gdl_tpu.models.transformer import SelfAttention
+
+    class DenseRef(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3 * 128, use_bias=False, name="qkv")(x)
+
+    x = jnp.zeros((2, 10, 128))
+    got = SelfAttention(dim=128, heads=4).init(
+        {"params": jax.random.PRNGKey(42)}, x, False)["params"]
+    ref = DenseRef().init({"params": jax.random.PRNGKey(42)}, x)["params"]
+    assert set(got.keys()) >= {"qkv", "proj"}
+    assert got["qkv"]["kernel"].shape == (128, 3 * 128)
+    np.testing.assert_array_equal(np.asarray(got["qkv"]["kernel"]),
+                                  np.asarray(ref["qkv"]["kernel"]))
+    assert "bias" not in got["qkv"]
 
 
 def test_dropout_requires_rng():
