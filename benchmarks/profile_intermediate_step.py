@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--model", default="mmformer_n")
     ap.add_argument("--batch", default=64, type=int)
     ap.add_argument("--out", default="/tmp/mmformer_prof")
+    ap.add_argument("--no_clip", action="store_true",
+                    help="diagnostic: drop the global-norm clip from the "
+                         "chain to attribute its reduce cost in profiles")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +38,8 @@ def main():
                  compute_dtype="bfloat16", log_grad_csv=False)
     model, kind = build_model(args.model, cfg.n_classes, 64,
                               dtype=jnp.bfloat16)
-    opt = make_optimizer(cfg, 100)
+    opt = make_optimizer(cfg, 100,
+                         clip_norm=None if args.no_clip else 40.0)
     rng = jax.random.PRNGKey(0)
     f, t = cfg.spec_shape
     variables = model.init({"params": rng, "drop": rng, "dropout": rng,

@@ -65,7 +65,8 @@ def _seed_block_prng(seed_ref):
     position (prng_seed takes at most 2 words on this toolchain — mix
     the block position in with golden-ratio odd constants so distinct
     blocks draw distinct streams; fwd and bwd kernels at the same block
-    re-derive the SAME stream)."""
+    re-derive the SAME stream). All dropout-carrying kernels must share
+    the (hg, b//G) grid orientation for the streams to agree."""
     hi, i = pl.program_id(0), pl.program_id(1)
     s0 = seed_ref[0] ^ (hi * jnp.int32(-1640531527))
     s1 = seed_ref[1] ^ (i * jnp.int32(-2048144789)
@@ -420,6 +421,12 @@ def _sa_xw_fwd(static, xp, w3, maskp):
         G = _pick_block_kernel_dropout(b, n_pad, g, extra)
     else:
         G = _pick_block(b, n_pad, g, backward=False, extra_row_bytes=extra)
+    # Grid matches the qkv-input kernels: (hg, b//G), i fastest. The
+    # head-group-fastest flip (x block surviving across hi, Mosaic
+    # eliding its re-fetch) was MEASURED A SLIGHT LOSS on hardware
+    # (self_attention total 18.13 -> 18.65 ms/step on the mmformer
+    # profile) — the per-step w re-fetch + worse output-block locality
+    # cost more than the (hg-1)·|x| reads saved.
     specs = _specs(G, n_pad, g, gd)
     in_specs = [
         pl.BlockSpec((G, n_pad, c), lambda hi, i: (i, 0, 0),

@@ -143,6 +143,13 @@ def global_norm_fused(tree, small_elems: int = 65536) -> jnp.ndarray:
             [jnp.ravel(x).astype(jnp.float32) for x in small])
         sumsq = sumsq + jnp.sum(jnp.square(flat))
     for x in big:
+        # one-shot per-leaf reduce ON PURPOSE: XLA fuses each big leaf's
+        # sumsq into its dW GEMM epilogue — an mmformer --no_clip A/B
+        # measured the whole clip at <=0.5 ms/step (74.25 vs 74.37 ms),
+        # and a two-stage row-reduce + optimization_barrier variant was
+        # exactly neutral (benchmarks/RESULTS.md round-3c). The
+        # multiply_reduce_fusion ops that LOOK like slow scalar reduces
+        # in profiles are those dW GEMMs running near roofline.
         sumsq = sumsq + jnp.sum(
             jnp.square(jnp.ravel(x).astype(jnp.float32)))
     return jnp.sqrt(sumsq)
