@@ -128,7 +128,8 @@ def bench_swin_dgl(batch_size: int, iters: int, pallas: bool = True):
     return batch_size * iters / dt, dt / iters * 1e3
 
 
-def bench_intermediate(model_name: str, batch_size: int, iters: int):
+def bench_intermediate(model_name: str, batch_size: int, iters: int,
+                       share_streams: bool = False):
     """Intermediate-fusion family (MMTM / SE-fusion / mmformer) train
     step — the main_intermediate.py path on synthetic CREMA-D shapes."""
     import jax
@@ -143,7 +144,8 @@ def bench_intermediate(model_name: str, batch_size: int, iters: int):
     cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
                  compute_dtype="bfloat16", log_grad_csv=False)
     model, kind = build_model(model_name, cfg.n_classes, 64,
-                              dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16,
+                              share_streams=share_streams)
     opt = make_optimizer(cfg, 100)
     rng = jax.random.PRNGKey(0)
     f, t = cfg.spec_shape
@@ -274,6 +276,12 @@ CONFIGS = {
     "mmtm_bs64": lambda it: bench_intermediate("mmtm", 64, it),
     "sefusion_bs64": lambda it: bench_intermediate("sefusion", 64, it),
     "mmformer_bs64": lambda it: bench_intermediate("mmformer_n", 64, it),
+    "mmformer_bs128": lambda it: bench_intermediate("mmformer_n", 128,
+                                                    max(it // 2, 5)),
+    # opt-in --share_unimodal_streams perf mode (eval bit-identical;
+    # train changes dropout correlation + BN stat count — RESULTS.md)
+    "mmformer_bs64_shared": lambda it: bench_intermediate(
+        "mmformer_n", 64, it, share_streams=True),
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),
