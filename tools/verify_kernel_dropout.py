@@ -82,6 +82,45 @@ def main():
     gdiff = float(jnp.max(jnp.abs(gk - gx)))
     print(f"grad max|diff| vs mask-oracle {gdiff:.3e}")
     assert gdiff < 5e-4
+
+    # 5: the fused-GEMM entry (self_attention_fused, the round-3c
+    # default train path) in 'kernel' dropout mode. Both entries draw
+    # mask bits as f(seed words, block position, draw shape, G); when
+    # their block sizes agree (assert below — true at this shape) the
+    # same mask applies, so fused(x, W) must equal qkv-entry(x @ W),
+    # forward and grad — proving the fused forward AND the shared
+    # backward regenerate identical bits through the real Mosaic PRNG.
+    from gdl_tpu.ops.self_attention import (
+        _pick_block_kernel_dropout, _xw_extra_row_bytes,
+        self_attention_fused)
+    g_qkv = _pick_block_kernel_dropout(b, n_pad, g)
+    g_fused = _pick_block_kernel_dropout(
+        b, n_pad, g, _xw_extra_row_bytes(n_pad, c, 128))
+    assert g_qkv == g_fused, (
+        f"block sizes diverged ({g_qkv} vs {g_fused}) — the cross-entry "
+        "equality below would compare different masks; pick a smaller "
+        "verification shape")
+    w = jnp.asarray((rng.standard_normal((c, 3 * c)) / np.sqrt(c)
+                     ).astype(np.float32))
+    x_in = qkv.reshape(b, n, 3 * c)[:, :, :c]  # any [B,N,C] payload
+    kw = dict(dropout_rate=rate, dropout_rng=key, train=True,
+              dropout_impl="kernel")
+    f1 = self_attention_fused(x_in, w, heads, **kw)
+    f2 = self_attention_fused(x_in, w, heads, **kw)
+    assert (np.asarray(f1) == np.asarray(f2)).all(), \
+        "fused forward not deterministic across launches"
+    qkv_of_x = (x_in @ w).reshape(b, n, 3, c)
+    split = self_attention_qkv(qkv_of_x, heads, **kw)
+    sdiff = float(jnp.max(jnp.abs(f1 - split)))
+    print(f"fused-vs-qkv forward max|diff| (kernel dropout) {sdiff:.3e}")
+    assert sdiff < 2e-4
+    gf = jax.grad(lambda xx: jnp.sum(
+        self_attention_fused(xx, w, heads, **kw) * cot))(x_in)
+    gs = jax.grad(lambda xx: jnp.sum(self_attention_qkv(
+        (xx @ w).reshape(b, n, 3, c), heads, **kw) * cot))(x_in)
+    g2diff = float(jnp.max(jnp.abs(gf - gs)))
+    print(f"fused-vs-qkv grad max|diff| (kernel dropout) {g2diff:.3e}")
+    assert g2diff < 5e-4
     print("PASS")
 
 
