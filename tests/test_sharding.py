@@ -122,3 +122,94 @@ def test_raw_batch_train_step_deterministic():
     _, m1 = step(state, raw)
     _, m2 = step(state, raw)
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def _tree_allclose(a, b, rtol=5e-4, atol=1e-5):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_mmformer_sharded_step_equals_single_device():
+    """The intermediate family's trainer (train/auxi.py — mmformer's
+    7-tuple AUXI+KL step) under the dp=8 mesh: identical loss and
+    updated params vs the unsharded jit of the same step. Extends the
+    DGL-only sharding equality to the family main_intermediate.py
+    drives (the dropout/PE rng draws and the BN batch stats are
+    partitioned by SPMD, not re-derived per shard)."""
+    from gdl_tpu.models.intermediate import MMFormerN
+    from gdl_tpu.train.auxi import make_auxi_train_step
+    from gdl_tpu.train.dgl import TrainState
+
+    cfg = Config(dataset="CREMAD", batch_size=8, fps=1, alpha=2.0,
+                 beta=1e-5, dp=8, mp=1, log_grad_csv=False)
+    model = MMFormerN(num_classes=6, width=8, embed_dim=32, seq_len=4)
+    opt = make_optimizer(cfg, 10)
+    rng = jax.random.PRNGKey(0)
+    # av_inputs=False: direct two-image-stream entry (the 224-resize
+    # adapter path would defeat the tiny shapes this 1-core host needs)
+    variables = model.init({"params": rng, "drop": rng, "dropout": rng,
+                            "pe": rng},
+                           jnp.zeros((2, 32, 32, 3)),
+                           jnp.zeros((2, 32, 32, 3)),
+                           train=False, av_inputs=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt.init(variables["params"]))
+    r = jax.random.PRNGKey(5)
+    ra, rv, rl = jax.random.split(r, 3)
+    batch = {"audio": jax.random.normal(ra, (8, 32, 32, 3)),
+             "visual": jax.random.normal(rv, (8, 32, 32, 3)),
+             "label": jax.random.randint(rl, (8,), 0, 6)}
+    step = jax.jit(make_auxi_train_step(
+        model, cfg, opt, seven_tuple=True, base_rng=jax.random.PRNGKey(1),
+        av_inputs=False))
+
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh(cfg.dp, cfg.mp)
+    st_sh = jax.device_put(state, state_sharding(state, mesh))
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()}
+    sh_state, sh_metrics = step(st_sh, b_sh)
+
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-5)
+    _tree_allclose(jax.device_get(ref_state.params),
+                   jax.device_get(sh_state.params))
+
+
+def test_swin_sharded_step_equals_single_device():
+    """The swin joint path under the dp=8 mesh (tiny swin config): same
+    loss + params as the unsharded jit — the window partition/reverse
+    and relative-position gathers must be batch-shardable without
+    numeric drift."""
+    from gdl_tpu.models.classifier import AVClassifierSwin
+    from gdl_tpu.train.joint import make_joint_train_step
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", alpha=1.0,
+                 backbone="swin", modulation="Normal", batch_size=8,
+                 fps=1, dp=8, mp=1, log_grad_csv=False,
+                 swin_embed_dim=16, swin_depths=[1, 1], swin_heads=[2, 4],
+                 swin_window=4, swin_img_size=32, swin_patch=4)
+    model = AVClassifierSwin(config=cfg)
+    opt = make_optimizer(cfg, 10, clip_norm=None)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               spec_shape=(32, 32), frames=1)
+    batch = tiny_batch(b=8, f=32, t=32, img=32)
+    step = jax.jit(make_joint_train_step(model, cfg, opt, 10,
+                                         base_rng=jax.random.PRNGKey(1)))
+
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh(cfg.dp, cfg.mp)
+    st_sh = jax.device_put(state, state_sharding(state, mesh))
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()}
+    sh_state, sh_metrics = step(st_sh, b_sh)
+
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-5)
+    _tree_allclose(jax.device_get(ref_state.params),
+                   jax.device_get(sh_state.params))
