@@ -192,28 +192,33 @@ def bench_intermediate(model_name: str, batch_size: int, iters: int,
 
 
 def bench_swin_gated(batch_size: int, iters: int, fused_bwd=None,
-                     quad_shift=None):
+                     quad_shift=None, gn_barrier=None):
     """bench_swin under the module-level kernel gates (phase-2/auto
-    fused projection backward, quadrant shift lowering). Clears jax
-    caches around the run so the trace-time gates actually apply, and
-    restores the defaults after."""
+    fused projection backward, quadrant shift lowering, grad-norm
+    materialize barrier). Clears jax caches around the run so the
+    trace-time gates actually apply, and restores the defaults after."""
     import jax
 
     import gdl_tpu.models.swin as sm
     import gdl_tpu.ops.window_attention as wa
+    import gdl_tpu.train.optim as opt_mod
 
     jax.clear_caches()
     old_b = wa.FUSED_PROJECTION_BACKWARD
     old_q = sm.SHIFT_QUADRANT_LOWERING
+    old_g = opt_mod.GN_MATERIALIZE_BARRIER
     if fused_bwd is not None:
         wa.FUSED_PROJECTION_BACKWARD = fused_bwd
     if quad_shift is not None:
         sm.SHIFT_QUADRANT_LOWERING = quad_shift
+    if gn_barrier is not None:
+        opt_mod.GN_MATERIALIZE_BARRIER = gn_barrier
     try:
         return bench_swin(batch_size, iters, pallas=True)
     finally:
         wa.FUSED_PROJECTION_BACKWARD = old_b
         sm.SHIFT_QUADRANT_LOWERING = old_q
+        opt_mod.GN_MATERIALIZE_BARRIER = old_g
         jax.clear_caches()
 
 
@@ -311,6 +316,8 @@ CONFIGS = {
     # in window_attention.py records that negative).
     "swin_bs32_phase2auto": lambda it: bench_swin_gated(
         32, max(it // 2, 5), fused_bwd="auto"),
+    "swin_bs32_gnbarrier": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), gn_barrier=True),
     "swin_bs32_quadshift": lambda it: bench_swin_gated(
         32, max(it // 2, 5), quad_shift=True),
 }

@@ -32,6 +32,12 @@ import optax
 
 from gdl_tpu.config import Config
 
+# A/B gate for global_norm_fused: materialize big gradient leaves
+# (optimization_barrier) before their sumsq instead of letting XLA fuse
+# the reduce into the dW producer fusions. Benchmarks toggle it
+# (run_all.py swin_bs32_gnbarrier); plain Python bool read at trace time.
+GN_MATERIALIZE_BARRIER = False
+
 
 def lr_for_epoch(cfg: Config, epoch: int) -> float:
     """LR in effect during 0-indexed `epoch` under the reference schedule."""
@@ -150,6 +156,11 @@ def global_norm_fused(tree, small_elems: int = 65536) -> jnp.ndarray:
         # exactly neutral (benchmarks/RESULTS.md round-3c). The
         # multiply_reduce_fusion ops that LOOK like slow scalar reduces
         # in profiles are those dW GEMMs running near roofline.
+        if GN_MATERIALIZE_BARRIER:
+            # A/B gate: force each big gradient to MATERIALIZE before
+            # its sumsq (the norm becomes a standalone HBM re-read)
+            # instead of fusing the reduce into the dW producer.
+            x = jax.lax.optimization_barrier(x)
         sumsq = sumsq + jnp.sum(
             jnp.square(jnp.ravel(x).astype(jnp.float32)))
     return jnp.sqrt(sumsq)
