@@ -182,6 +182,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--native-jpeg", action="store_true")
     ap.add_argument("--with-step", action="store_true")
+    ap.add_argument("--preprocessed", action="store_true",
+                    help="build the offline cache (tools/"
+                         "preprocess_dataset.py) over the fixture tree "
+                         "first and bench the cached read path")
     args = ap.parse_args()
 
     if args.native_jpeg:
@@ -190,6 +194,16 @@ def main():
     ncores = os.cpu_count() or 1
     with tempfile.TemporaryDirectory() as root:
         cfg, dataset = _make_dataset(args, root)
+        if args.preprocessed:
+            from tools.preprocess_dataset import preprocess
+
+            pre_root = os.path.join(root, "preprocessed")
+            t0 = time.perf_counter()
+            n = preprocess(cfg, pre_root, datasets=[dataset],
+                           workers=max(args.workers))
+            print(f"# cache build: {n} clips in "
+                  f"{time.perf_counter() - t0:.1f}s -> {pre_root}")
+            dataset.cfg.preprocessed_path = pre_root
         print(f"# {args.dataset}: {len(dataset)} clips on disk, "
               f"{ncores} host core(s), native_jpeg="
               f"{bool(os.environ.get('GDL_NATIVE_JPEG'))}")

@@ -73,6 +73,12 @@ class Config:
     num_frame: int = 1
     audio_path: str = "./train_test_data/CREMA-D/AudioWAV"
     visual_path: str = "./train_test_data/CREMA-D"
+    preprocessed_path: str = ""  # offline-decoded cache root built by
+    # tools/preprocess_dataset.py: resampled waveforms + 256^2 canonical
+    # frames as .npy/.npz. When set, the datasets skip wav/JPEG decode
+    # and resampling entirely (the host-pipeline bottleneck — KS shapes
+    # are resample-bound at ~90 clips/s/core decoded live); per-epoch
+    # augmentation (frame selection, audio crop) still runs identically.
     batch_size: int = 64
     epochs: int = 100
     optimizer: str = "sgd"  # ['sgd', 'AdaGrad', 'Adam']
@@ -226,6 +232,11 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         help="use how many frames for train")
     parser.add_argument("--audio_path", default=d.audio_path, type=str)
     parser.add_argument("--visual_path", default=d.visual_path, type=str)
+    parser.add_argument("--preprocessed_path", default=d.preprocessed_path,
+                        type=str,
+                        help="offline-decoded cache root (tools/"
+                             "preprocess_dataset.py); skips host wav/JPEG "
+                             "decode + resample")
     parser.add_argument("--batch_size", default=d.batch_size, type=int)
     parser.add_argument("--epochs", default=d.epochs, type=int)
     parser.add_argument("--optimizer", default=d.optimizer, type=str)

@@ -88,6 +88,33 @@ def _load_frames(paths: List[str]) -> np.ndarray:
     return np.stack(frames)
 
 
+def _fixed_from_wave(wave: np.ndarray, dataset: str,
+                     rng: Optional[random.Random]) -> np.ndarray:
+    """The tile/crop/pad/clip tail of the audio pipeline on an
+    already-resampled waveform (the pure-Python reference numerics —
+    shared by the live decode path and the offline-preprocessed cache)."""
+    p = AUDIO_PARAMS[dataset]
+    sr = p["sample_rate"]
+    target = sr * p["seconds"]
+    if dataset in ("CREMAD", "AVE"):
+        # np.tile(samples, 3)[:3 s] (dataset/CramedDataset.py:61)
+        wave = np.tile(wave, 3)[:target]
+    else:
+        # tile to >= 10 s, then a random crop: 5 s with start in [0, 5 s]
+        # (KS/VGGSound, dataset/KSDataset.py:139-146) or 8 s with start in
+        # [0, 2 s] (kinect400, dataset/Kinect400.py:120-127) — the bound is
+        # per-dataset (AUDIO_PARAMS crop_start_s)
+        min_len = sr * 10
+        while len(wave) < min_len:
+            wave = np.tile(wave, 2)
+        hi = sr * p["crop_start_s"]
+        start = rng.randint(0, hi) if rng is not None else 0
+        wave = wave[start:start + target]
+    if len(wave) < target:
+        wave = np.pad(wave, (0, target - len(wave)))
+    return np.clip(wave, -1.0, 1.0).astype(np.float32)
+
+
 def _audio_fixed(path: str, dataset: str,
                  rng: Optional[random.Random]) -> np.ndarray:
     """Decode + resample + tile/crop/clip to the dataset's fixed length.
@@ -117,23 +144,26 @@ def _audio_fixed(path: str, dataset: str,
         except ValueError:
             pass  # corrupt/unsupported file → python path below
     wave = load_wav(path, sr)
-    if dataset in ("CREMAD", "AVE"):
-        # np.tile(samples, 3)[:3 s] (dataset/CramedDataset.py:61)
-        wave = np.tile(wave, 3)[:target]
-    else:
-        # tile to >= 10 s, then a random crop: 5 s with start in [0, 5 s]
-        # (KS/VGGSound, dataset/KSDataset.py:139-146) or 8 s with start in
-        # [0, 2 s] (kinect400, dataset/Kinect400.py:120-127) — the bound is
-        # per-dataset (AUDIO_PARAMS crop_start_s)
-        min_len = sr * 10
-        while len(wave) < min_len:
-            wave = np.tile(wave, 2)
-        hi = sr * p["crop_start_s"]
-        start = rng.randint(0, hi) if rng is not None else 0
-        wave = wave[start:start + target]
-    if len(wave) < target:
-        wave = np.pad(wave, (0, target - len(wave)))
-    return np.clip(wave, -1.0, 1.0).astype(np.float32)
+    return _fixed_from_wave(wave, dataset, rng)
+
+
+def preprocessed_key(path: str) -> str:
+    """Stable cache filename for a source path: full sha1 of the
+    normalized path + the basename for human debuggability."""
+    import hashlib
+
+    norm = os.path.normpath(path)
+    digest = hashlib.sha1(norm.encode()).hexdigest()
+    base = os.path.basename(norm.rstrip(os.sep)) or "root"
+    return f"{digest}_{base}"
+
+
+def preprocessed_audio_file(root: str, path: str) -> str:
+    return os.path.join(root, "audio", preprocessed_key(path) + ".npy")
+
+
+def preprocessed_frames_file(root: str, path: str) -> str:
+    return os.path.join(root, "frames", preprocessed_key(path) + ".npy")
 
 
 class _AVListDataset:
@@ -175,11 +205,48 @@ class _AVListDataset:
         # mode) — reproduced under strict_compat; default eval uses start=0
         # for deterministic reported accuracy
         audio_rng = rng if (train or self.cfg.strict_compat) else None
+        root = getattr(self.cfg, "preprocessed_path", "")
+        if root:
+            cached = self._getitem_preprocessed(idx, train, rng, audio_rng,
+                                                root)
+            if cached is not None:
+                return cached
         wave = _audio_fixed(self.audio[idx], self.dataset_name, audio_rng)
         entries = listdir_nohidden(self.image[idx])
         sel = _select_frames(entries, self.n_frames, train,
                              self.cfg.strict_compat, rng)
         frames = _load_frames(sel)
+        return wave, frames, self.label[idx]
+
+    def _getitem_preprocessed(self, idx, train, rng, audio_rng, root):
+        """Offline-cache fast path (tools/preprocess_dataset.py): the
+        resampled waveform and the decoded 256^2 frames load as
+        .npy/.npz; only the cheap per-epoch tail (tile/crop, frame
+        selection) runs on the host. The augmentation rng draws stay in
+        the SAME order as the live path, so a cached epoch is sample-for-
+        sample identical to a decoded one (tests/test_preprocessed.py).
+        Returns None when either cache file is missing (falls back to
+        live decode for that sample)."""
+        afile = preprocessed_audio_file(root, self.audio[idx])
+        ffile = preprocessed_frames_file(root, self.image[idx])
+        nfile = ffile + ".names.npy"
+        if not (os.path.exists(afile) and os.path.exists(ffile)
+                and os.path.exists(nfile)):
+            return None
+        # IMPORTANT rng-order note: the live python audio path draws the
+        # crop start inside _fixed_from_wave; the live NATIVE path draws
+        # it before wav_to_fixed. Both consume exactly one randint from
+        # audio_rng before any frame draw — as does this path.
+        wave = _fixed_from_wave(np.load(afile), self.dataset_name,
+                                audio_rng)
+        names = [str(n) for n in np.load(nfile)]
+        sel = _select_frames(names, self.n_frames, train,
+                             self.cfg.strict_compat, rng)
+        pos = {n: i for i, n in enumerate(names)}
+        # mmap: only the selected frame rows are read from disk (real
+        # KS clips carry ~10-30 decoded frames; training reads 3)
+        store = np.load(ffile, mmap_mode="r")
+        frames = np.ascontiguousarray(store[[pos[n] for n in sel]])
         return wave, frames, self.label[idx]
 
 

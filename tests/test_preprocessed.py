@@ -1,0 +1,133 @@
+"""Offline-preprocessed dataset cache (tools/preprocess_dataset.py +
+`--preprocessed_path`): a cached epoch must be sample-for-sample BITWISE
+identical to the live-decode epoch — same per-(seed, epoch, idx)
+augmentation draws (audio crop start, frame selection), same corrupt-
+media fallback — while skipping wav/JPEG decode and resampling (the
+measured host bottleneck, benchmarks/RESULTS.md 'host input-pipeline
+at rate')."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdl_tpu.config import Config
+from gdl_tpu.data import native
+from gdl_tpu.data.datasets import CremadDataset, KSDataset
+from tests.test_datasets import make_cremad_tree, write_jpgs, write_wav
+from tools.preprocess_dataset import preprocess
+
+
+@pytest.fixture()
+def no_native(monkeypatch):
+    """Force the pure-Python live path: the cache stores load_wav output
+    and replays the python tail, so bitwise comparison needs the live
+    side on the same numerics (the native path is tolerance-equal, not
+    bitwise — tests/test_native.py)."""
+    monkeypatch.setattr(native, "available", lambda: False)
+
+
+def _cremad(tmp_path, preprocessed=""):
+    names = [(f"clip{i}", lbl) for i, lbl in enumerate(
+        ["NEU", "HAP", "SAD", "FEA"])]
+    audio, visual, data_root = make_cremad_tree(tmp_path, names)
+    cfg = Config(dataset="CREMAD", fps=1, audio_path=audio,
+                 visual_path=visual, preprocessed_path=preprocessed)
+    return cfg, data_root
+
+
+def test_cremad_cached_epoch_bitwise_equal(tmp_path, no_native):
+    cfg, data_root = _cremad(tmp_path)
+    live_tr = CremadDataset(cfg, "train", data_root=data_root)
+    live_ev = CremadDataset(cfg, "test", data_root=data_root)
+    out = str(tmp_path / "pre")
+    n = preprocess(cfg, out, datasets=[live_tr], workers=2)
+    assert n == len(live_tr)
+
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cached_tr = CremadDataset(cfg2, "train", data_root=data_root)
+    cached_ev = CremadDataset(cfg2, "test", data_root=data_root)
+
+    for epoch in (0, 1):
+        live_tr.set_epoch(epoch)
+        cached_tr.set_epoch(epoch)
+        for i in range(len(live_tr)):
+            wl, fl, ll = live_tr[i]
+            wc, fc, lc = cached_tr[i]
+            np.testing.assert_array_equal(wl, wc)
+            np.testing.assert_array_equal(fl, fc)
+            assert ll == lc
+    wl, fl, _ = live_ev[0]
+    wc, fc, _ = cached_ev[0]
+    np.testing.assert_array_equal(wl, wc)
+    np.testing.assert_array_equal(fl, fc)
+
+
+def test_missing_cache_entry_falls_back_to_live(tmp_path, no_native):
+    cfg, data_root = _cremad(tmp_path)
+    live = CremadDataset(cfg, "train", data_root=data_root)
+    out = str(tmp_path / "pre")
+    preprocess(cfg, out, datasets=[live], workers=2)
+    # delete one clip's audio cache: that sample must still decode live
+    from gdl_tpu.data.datasets import preprocessed_audio_file
+
+    os.remove(preprocessed_audio_file(out, live.audio[1]))
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cached = CremadDataset(cfg2, "train", data_root=data_root)
+    wl, fl, _ = live[1]
+    wc, fc, _ = cached[1]
+    np.testing.assert_array_equal(wl, wc)
+    np.testing.assert_array_equal(fl, fc)
+
+
+def _ks_tree(tmp_path):
+    """Minimal KS tree (mirrors test_datasets.test_ks_tree_semantics):
+    exercises the RANDOM per-epoch audio crop (10 s tile, 5 s window)
+    and >3-frame random frame selection."""
+    class_file = tmp_path / "class.txt"
+    class_file.write_text("dog,cat")
+    data = tmp_path / "ks"
+    rng = np.random.default_rng(3)
+    for cname in ("dog", "cat"):
+        vdir = data / "visual" / "train_img/Image-01-FPS" / cname
+        adir = data / "audio" / "train" / cname
+        os.makedirs(adir, exist_ok=True)
+        for vid in ("vidA", "vidB"):
+            write_jpgs(vdir / vid, n=6)
+            write_wav(adir / f"{vid}.wav",
+                      rng.standard_normal(44100 * 2) * 0.1, 44100)
+    cfg = lambda pre="": Config(  # noqa: E731
+        dataset="KineticSound", fps=1, use_video_frames=3,
+        audio_path=str(data / "audio" / "train"),
+        visual_path=str(data / "visual" / "train_img/Image-01-FPS"),
+        preprocessed_path=pre)
+    return cfg, str(class_file)
+
+
+def test_ks_cached_random_crop_and_frames_equal(tmp_path, no_native):
+    cfg_of, class_file = _ks_tree(tmp_path)
+    live = KSDataset(cfg_of(), "train", class_file=class_file)
+    out = str(tmp_path / "pre")
+    preprocess(cfg_of(), out, datasets=[live], workers=2)
+    cached = KSDataset(cfg_of(out), "train", class_file=class_file)
+    for epoch in (0, 2):
+        live.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for i in range(len(live)):
+            wl, fl, ll = live[i]
+            wc, fc, lc = cached[i]
+            np.testing.assert_array_equal(wl, wc)
+            np.testing.assert_array_equal(fl, fc)
+            assert ll == lc
+
+
+def test_cli_flag_plumbs_to_config():
+    import argparse
+
+    from gdl_tpu.config import add_arguments, from_args
+
+    parser = argparse.ArgumentParser()
+    add_arguments(parser, dgl=True)
+    ns = parser.parse_args(["--ckpt_path", "x",
+                            "--preprocessed_path", "/pre"])
+    assert from_args(ns).preprocessed_path == "/pre"
