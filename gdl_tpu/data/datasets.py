@@ -220,9 +220,9 @@ class _AVListDataset:
 
     def _getitem_preprocessed(self, idx, train, rng, audio_rng, root):
         """Offline-cache fast path (tools/preprocess_dataset.py): the
-        resampled waveform and the decoded 256^2 frames load as
-        .npy/.npz; only the cheap per-epoch tail (tile/crop, frame
-        selection) runs on the host. The augmentation rng draws stay in
+        resampled waveform and the decoded 256^2 frames load as plain
+        .npy (frames memory-mapped); only the cheap per-epoch tail
+        (tile/crop, frame selection) runs on the host. The augmentation rng draws stay in
         the SAME order as the live path, so a cached epoch is sample-for-
         sample identical to a decoded one (tests/test_preprocessed.py).
         Returns None when either cache file is missing (falls back to
