@@ -272,6 +272,62 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False,
     return batch_size / dt, dt * 1e3
 
 
+def bench_intermediate_eval(model_name: str, batch_size: int, iters: int,
+                            pallas_eval: bool = False):
+    """Forward-only (serving/eval) intermediate-family throughput; the
+    A/B for SA_PALLAS_EVAL (the residual-free fused eval kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gdl_tpu.models.transformer as tr
+    from gdl_tpu.config import Config
+    from main_intermediate import build_model
+
+    jax.clear_caches()
+    old = tr.SA_PALLAS_EVAL
+    tr.SA_PALLAS_EVAL = pallas_eval
+    try:
+        cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
+                     compute_dtype="bfloat16", log_grad_csv=False)
+        model, _ = build_model(model_name, cfg.n_classes, 64,
+                               dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        f, t = cfg.spec_shape
+        variables = model.init({"params": rng, "drop": rng,
+                                "dropout": rng, "pe": rng},
+                               jnp.zeros((2, f, t, 1)),
+                               jnp.zeros((2, 1, 224, 224, 3)),
+                               train=False, av_inputs=True)
+        r = jax.random.PRNGKey(1)
+        audio = jax.random.normal(r, (batch_size, f, t, 1), jnp.bfloat16)
+        visual = jax.random.normal(r, (batch_size, 1, 224, 224, 3),
+                                   jnp.bfloat16)
+
+        @jax.jit
+        def many(variables, audio, visual):
+            def body(_, a):
+                out = model.apply(variables, a, visual, train=False,
+                                  av_inputs=True)[0]
+                return a + (jnp.sum(out) * 1e-8).astype(a.dtype)
+
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, audio)
+                           .astype(jnp.float32))
+
+        import time as _t
+
+        float(many(variables, audio, visual))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            float(many(variables, audio, visual))
+            best = min(best, _t.perf_counter() - t0)
+        dt = best / iters
+        return batch_size / dt, dt * 1e3
+    finally:
+        tr.SA_PALLAS_EVAL = old
+        jax.clear_caches()
+
+
 CONFIGS = {
     "resnet_bs64": lambda it: bench_resnet(64, it),
     "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
@@ -287,6 +343,10 @@ CONFIGS = {
     # train changes dropout correlation + BN stat count — RESULTS.md)
     "mmformer_bs64_shared": lambda it: bench_intermediate(
         "mmformer_n", 64, it, share_streams=True),
+    "mmformer_eval_bs64": lambda it: bench_intermediate_eval(
+        "mmformer_n", 64, it),
+    "mmformer_eval_bs64_pallas": lambda it: bench_intermediate_eval(
+        "mmformer_n", 64, it, pallas_eval=True),
     "swin_bs16": lambda it: bench_swin(16, max(it // 2, 5)),
     "swin_bs16_pallas": lambda it: bench_swin(16, max(it // 2, 5),
                                               pallas=True),

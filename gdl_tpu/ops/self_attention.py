@@ -617,6 +617,76 @@ def self_attention_qkv(qkv: jnp.ndarray, num_heads: int,
     return out[:, :n]
 
 
+def _sa_xw_eval_kernel(x_ref, w_ref, o_ref, *, g, d, n_valid, scale):
+    """Forward-only fused qkv-GEMM + attention for EVAL/serving: no
+    p/qkv residual writes, no dropout — the residual-free variant that
+    won the swin eval A/B (13.21 vs 13.96 ms, window_attention.py
+    _wa_xw_t_eval_kernel)."""
+    G, np_, c = x_ref.shape
+    gd = w_ref.shape[2]
+    qkv = jax.lax.dot_general(
+        x_ref[...].reshape(G * np_, c), w_ref[...].reshape(c, 3 * gd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv.reshape(G, np_, 3, gd).astype(o_ref.dtype)
+    q = qkv[:, :, 0, :] * jnp.asarray(scale, qkv.dtype)
+    k = qkv[:, :, 1, :]
+    v = qkv[:, :, 2, :]
+    bm = _blockmask(g, d, gd, q.dtype)
+    q_bd = (q[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    s = jax.lax.dot_general(
+        q_bd, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    if n_valid < np_:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out_full = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(out_full.reshape(G, g, np_, gd)
+                  * bm[None, :, None, :].astype(jnp.float32), axis=1)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def self_attention_fused_eval(x: jnp.ndarray, kernel: jnp.ndarray,
+                              num_heads: int,
+                              scale: Optional[float] = None) -> jnp.ndarray:
+    """Inference variant of self_attention_fused: same fused qkv GEMM +
+    packed-head attention, but NO residual outputs and no dropout —
+    non-differentiable by design (serving/eval forwards)."""
+    b, n, c = x.shape
+    d = c // num_heads
+    scale = scale if scale is not None else d ** -0.5
+    g = _pick_g(num_heads, d)
+    hg = num_heads // g
+    gd = g * d
+    n_pad = _round_up(n, 8)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    w3 = kernel.reshape(c, 3, hg * gd)
+    extra = _xw_extra_row_bytes(n_pad, c, gd)
+    G = _pick_block(b, n_pad, g, backward=False, extra_row_bytes=extra)
+    out = pl.pallas_call(
+        functools.partial(_sa_xw_eval_kernel, g=g, d=d, n_valid=n,
+                          scale=scale),
+        grid=(hg, b // G),
+        in_specs=[
+            pl.BlockSpec((G, n_pad, c), lambda hi, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3, gd), lambda hi, i: (0, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, n_pad, gd), lambda hi, i: (i, 0, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hg * gd), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, w3)
+    return out[:, :n]
+
+
 def self_attention_xla(qkv: jnp.ndarray, num_heads: int,
                        scale: Optional[float] = None) -> jnp.ndarray:
     """Reference XLA path on the same [B, N, 3, C] packing (no dropout) —

@@ -261,3 +261,17 @@ def test_module_uses_kernel_only_on_tpu_train():
     y = m.apply(variables, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
     z = m.apply(variables, x, False)
     assert y.shape == z.shape == (2, 10, 128)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_fused_eval_forward_matches_xla(case):
+    """The residual-free eval entry (self_attention_fused_eval) == the
+    XLA oracle on qkv = x @ W."""
+    from gdl_tpu.ops.self_attention import self_attention_fused_eval
+
+    b, n, heads, c = case["b"], case["n"], case["heads"], case["c"]
+    x, w = _xw(b, n, c, seed=11)
+    ours = self_attention_fused_eval(x, w, heads)
+    ref = self_attention_xla((x @ w).reshape(b, n, 3, c), heads)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
