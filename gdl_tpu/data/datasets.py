@@ -158,6 +158,25 @@ def preprocessed_key(path: str) -> str:
     return f"{digest}_{base}"
 
 
+def _npy_meta(path: str):
+    """(payload byte offset, shape, dtype) of a .npy file — parsed ONCE
+    per clip and memoized by _pre_entry, where np.load would re-parse the
+    header (open + ast.literal_eval) every epoch. Returns None on any
+    parse problem (the caller treats the clip as uncached). Fortran-order
+    arrays are rejected — the cache writer (tools/preprocess_dataset.py)
+    only emits C-order."""
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, fortran, dtype = np.lib.format._read_array_header(
+                f, version)
+            if fortran:
+                return None
+            return f.tell(), shape, dtype
+    except Exception:
+        return None
+
+
 def preprocessed_audio_file(root: str, path: str) -> str:
     return os.path.join(root, "audio", preprocessed_key(path) + ".npy")
 
@@ -248,6 +267,119 @@ class _AVListDataset:
         store = np.load(ffile, mmap_mode="r")
         frames = np.ascontiguousarray(store[[pos[n] for n in sel]])
         return wave, frames, self.label[idx]
+
+    # -- batched native collate over the offline cache -------------------
+    #
+    # The per-sample cached path above costs ~0.7-1.9 ms/clip of pure
+    # Python overhead — np.load header parses (ast.literal_eval +
+    # compile) x3 files, os.path.exists x3, and the numpy tile/crop/clip
+    # tail dominate (profiled; benchmarks/RESULTS.md). The Loader calls
+    # collate_cached() for whole batches instead: the .npy metadata
+    # (payload offset, shape, frame-name list) is parsed ONCE per clip and
+    # memoized, every RNG draw stays in Python in the exact per-sample
+    # order, and one GIL-released C call (native/gdl_host.cpp
+    # gdl_collate_cached) preads waveforms + selected frame rows straight
+    # into the final batch arrays. Bitwise-equal to the per-sample path
+    # (tests/test_preprocessed.py).
+
+    def _pre_entry(self, idx: int, root: str):
+        """Memoized per-clip cache metadata, or False when this clip is
+        not (validly) cached — the caller then falls back per-sample."""
+        cache = getattr(self, "_pre_cache", None)
+        if cache is None or cache[0] != root:
+            cache = (root, {})
+            self._pre_cache = cache
+        hit = cache[1].get(idx)
+        if hit is not None:
+            return hit
+        entry: object = False
+        try:
+            afile = preprocessed_audio_file(root, self.audio[idx])
+            ffile = preprocessed_frames_file(root, self.image[idx])
+            ameta = _npy_meta(afile)
+            fmeta = _npy_meta(ffile)
+            names_arr = np.load(ffile + ".names.npy")
+            if ameta and fmeta:
+                a_off, a_shape, a_dtype = ameta
+                f_off, f_shape, f_dtype = fmeta
+                rs = RAW_IMAGE_SIZE
+                if (a_dtype == np.dtype("<f4") and len(a_shape) == 1
+                        and f_dtype == np.dtype("|u1")
+                        and f_shape[1:] == (rs, rs, 3)
+                        and f_shape[0] == len(names_arr)):
+                    names = [str(n) for n in names_arr]
+                    pos = {n: i for i, n in enumerate(names)}
+                    entry = (afile, a_off, a_shape[0], ffile, f_off,
+                             names, pos)
+        except (OSError, ValueError):
+            entry = False
+        cache[1][idx] = entry
+        return entry
+
+    def collate_cached(self, indices, nthreads: int = 1):
+        """Whole-batch fast path over the offline-preprocessed cache.
+        Returns (wave [B,T] f32, frames [B,n,H,W,3] u8, labels [B] i32)
+        or None when unavailable (no cache root, native lib missing, any
+        clip uncached) — the caller then uses the per-sample path."""
+        root = getattr(self.cfg, "preprocessed_path", "")
+        if not root:
+            return None
+        from gdl_tpu.data import native
+
+        if not native.collate_available():
+            return None
+        p = AUDIO_PARAMS[self.dataset_name]
+        sr = p["sample_rate"]
+        target = sr * p["seconds"]
+        crop0 = self.dataset_name in ("CREMAD", "AVE")
+        train = self.mode == "train"
+        rs = RAW_IMAGE_SIZE
+        n = self.n_frames
+        apaths, aoff, alen, tiled, starts = [], [], [], [], []
+        fpaths, foff, rows = [], [], []
+        for idx in indices:
+            entry = self._pre_entry(idx, root)
+            if not entry:
+                return None
+            afile, a_off, a_len, ffile, f_off, names, pos = entry
+            # RNG draw order == _getitem_preprocessed: the audio crop
+            # start first (crop datasets only — _fixed_from_wave draws
+            # nothing for CREMAD/AVE), then the frame selection
+            rng = self._sample_rng(idx)
+            audio_rng = rng if (train or self.cfg.strict_compat) else None
+            if crop0:
+                start, tlen = 0, 3 * a_len
+            else:
+                hi = sr * p["crop_start_s"]
+                start = audio_rng.randint(0, hi) if audio_rng else 0
+                tlen = a_len
+                while 0 < tlen < sr * 10:
+                    tlen *= 2
+            sel = _select_frames(names, n, train, self.cfg.strict_compat,
+                                 rng)
+            apaths.append(afile)
+            aoff.append(a_off)
+            alen.append(a_len)
+            tiled.append(tlen)
+            starts.append(start)
+            fpaths.append(ffile)
+            foff.append(f_off)
+            rows.extend(pos[s] for s in sel)
+        try:
+            out = native.collate_cached(
+                apaths, np.asarray(aoff, np.int64),
+                np.asarray(alen, np.int64), np.asarray(tiled, np.int64),
+                np.asarray(starts, np.int64), target, fpaths,
+                np.asarray(foff, np.int64), np.asarray(rows, np.int32),
+                n, rs * rs * 3, nthreads=nthreads)
+        except ValueError:
+            return None  # file IO failed mid-batch; per-sample fallback
+        if out is None:
+            return None
+        wave, frames = out
+        frames = frames.reshape(len(indices), n, rs, rs, 3)
+        labels = np.asarray([self.label[i] for i in indices], np.int32)
+        return wave, frames, labels
 
 
 class CremadDataset(_AVListDataset):

@@ -78,6 +78,16 @@ class Loader:
                 yield chunk
 
     def _collate(self, pool: ThreadPoolExecutor, indices) -> dict:
+        # whole-batch native fast path over the offline-preprocessed
+        # cache (datasets._AVListDataset.collate_cached: one GIL-released
+        # C call preads straight into the final batch arrays — bitwise-
+        # equal to the per-sample path below, tests/test_preprocessed.py);
+        # None → per-sample path (no cache, partial cache, no native lib)
+        fast = getattr(self.dataset, "collate_cached", None)
+        if fast is not None:
+            out = fast(indices, nthreads=self.num_workers)
+            if out is not None:
+                return {"wave": out[0], "frames": out[1], "label": out[2]}
         samples = list(pool.map(self.dataset.__getitem__, indices))
         waves = np.stack([s[0] for s in samples])
         frames = np.stack([s[1] for s in samples])

@@ -35,6 +35,9 @@ _img_lib = None
 _img_tried = False
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u8cp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -43,7 +46,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-             "-std=c++17", "-o", _SO, _SRC],
+             "-std=c++17", "-pthread", "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -77,6 +80,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, _f32p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, _f32p]
+        if hasattr(lib, "gdl_collate_cached"):  # absent in stale builds
+            lib.gdl_collate_cached.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), _i64p, _i64p, _i64p, _i64p,
+                ctypes.c_int32, _f32p, ctypes.POINTER(ctypes.c_char_p),
+                _i64p, _i32p, ctypes.c_int32, ctypes.c_int64, _u8cp,
+                ctypes.c_int32, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -187,6 +196,45 @@ def get_image_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int32, _u8p]
         _img_lib = lib
         return _img_lib
+
+
+def collate_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "gdl_collate_cached")
+
+
+def collate_cached(apaths, aoff, alen, tiled_len, starts, target,
+                   fpaths, foff, rows, n_frames, row_bytes,
+                   nthreads: int = 1):
+    """Batched pure-IO collate over the offline cache (one GIL-released C
+    call per batch): preads the cached waveforms + the selected frame rows
+    straight into the final batch buffers and applies the tile/crop/clip
+    audio tail (native/gdl_host.cpp gdl_collate_cached). Every RNG draw
+    (crop starts, frame row selection) happens in the CALLER — output is
+    bitwise-equal to the per-sample Python path (tests/test_preprocessed.py).
+
+    Returns (wave [B, target] f32, frames [B, n_frames*row_bytes] u8 flat)
+    or None when the native library lacks the entry point; raises
+    ValueError on any file IO failure (caller falls back per-sample)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdl_collate_cached"):
+        return None
+    batch = len(apaths)
+    wave = np.empty((batch, target), np.float32)
+    frames = np.empty((batch, n_frames * row_bytes), np.uint8)
+    ap = (ctypes.c_char_p * batch)(*[p.encode() for p in apaths])
+    fp = (ctypes.c_char_p * batch)(*[p.encode() for p in fpaths])
+    rc = lib.gdl_collate_cached(
+        ap, np.ascontiguousarray(aoff, np.int64),
+        np.ascontiguousarray(alen, np.int64),
+        np.ascontiguousarray(tiled_len, np.int64),
+        np.ascontiguousarray(starts, np.int64), target, wave, fp,
+        np.ascontiguousarray(foff, np.int64),
+        np.ascontiguousarray(rows, np.int32), n_frames, row_bytes, frames,
+        batch, nthreads)
+    if rc != 0:
+        raise ValueError(f"native collate failed at sample {-rc - 1}")
+    return wave, frames
 
 
 def decode_jpeg(path: str, size: int) -> Optional[np.ndarray]:

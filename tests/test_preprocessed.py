@@ -121,6 +121,121 @@ def test_ks_cached_random_crop_and_frames_equal(tmp_path, no_native):
             assert ll == lc
 
 
+needs_native_collate = pytest.mark.skipif(
+    not native.collate_available(),
+    reason="native gdl_collate_cached unavailable (no compiler?)")
+
+
+@needs_native_collate
+def test_native_collate_bitwise_equal_cremad(tmp_path, no_native):
+    """The Loader's whole-batch native collate (gdl_collate_cached) must
+    be bitwise-equal to the per-sample python cached path — same RNG
+    draw order per (seed, epoch, idx), same tile/crop/clip numerics.
+    no_native forces __getitem__ onto the pure-python path while
+    collate_cached (gated on collate_available) still runs native."""
+    cfg, data_root = _cremad(tmp_path)
+    ds = CremadDataset(cfg, "train", data_root=data_root)
+    out = str(tmp_path / "pre")
+    preprocess(cfg, out, datasets=[ds], workers=2)
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cached = CremadDataset(cfg2, "train", data_root=data_root)
+    idx = list(range(len(cached)))
+    for epoch in (0, 1):
+        cached.set_epoch(epoch)
+        got = cached.collate_cached(idx, nthreads=2)
+        assert got is not None
+        wave, frames, labels = got
+        for row, i in enumerate(idx):
+            w, f, lbl = cached[i]  # per-sample python cached path
+            assert wave.dtype == w.dtype and frames.dtype == f.dtype
+            np.testing.assert_array_equal(wave[row], w)
+            np.testing.assert_array_equal(frames[row], f)
+            assert labels[row] == lbl
+
+
+@needs_native_collate
+@pytest.mark.parametrize("mode_epoch", [("train", 0), ("train", 2)])
+def test_native_collate_bitwise_equal_ks(tmp_path, no_native, mode_epoch):
+    """KS shapes: the random 5 s crop start (one randint BEFORE the frame
+    draws) and the tile-to-10 s doubling must replicate exactly."""
+    mode, epoch = mode_epoch
+    cfg_of, class_file = _ks_tree(tmp_path)
+    live = KSDataset(cfg_of(), "train", class_file=class_file)
+    out = str(tmp_path / "pre")
+    preprocess(cfg_of(), out, datasets=[live], workers=2)
+    cached = KSDataset(cfg_of(out), "train", class_file=class_file)
+    idx = list(range(len(cached)))
+    cached.set_epoch(epoch)
+    got = cached.collate_cached(idx, nthreads=2)
+    assert got is not None
+    wave, frames, labels = got
+    for row, i in enumerate(idx):
+        w, f, lbl = cached[i]
+        np.testing.assert_array_equal(wave[row], w)
+        np.testing.assert_array_equal(frames[row], f)
+        assert labels[row] == lbl
+
+
+@needs_native_collate
+def test_native_collate_partial_cache_returns_none(tmp_path, no_native):
+    """A batch containing ANY uncached clip must decline the fast path
+    (return None) so the Loader's per-sample path handles the mix."""
+    cfg, data_root = _cremad(tmp_path)
+    ds = CremadDataset(cfg, "train", data_root=data_root)
+    out = str(tmp_path / "pre")
+    preprocess(cfg, out, datasets=[ds], workers=2)
+    from gdl_tpu.data.datasets import preprocessed_audio_file
+
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cached = CremadDataset(cfg2, "train", data_root=data_root)
+    os.remove(preprocessed_audio_file(out, cached.audio[1]))
+    assert cached.collate_cached([0, 1], nthreads=1) is None
+    assert cached.collate_cached([0], nthreads=1) is not None
+    # the Loader-level fallback still yields the full, correct batch
+    from gdl_tpu.data.loader import Loader
+
+    loader = Loader(cached, batch_size=2, shuffle=False, drop_last=True,
+                    num_workers=2, seed=0)
+    batch = next(iter(loader))
+    cached.set_epoch(1)  # Loader's __iter__ advanced to epoch 1
+    w1, f1, l1 = cached[1]
+    np.testing.assert_array_equal(batch["wave"][1], w1)
+    np.testing.assert_array_equal(batch["frames"][1], f1)
+    assert batch["label"][1] == l1
+
+
+@needs_native_collate
+def test_loader_uses_native_collate(tmp_path, no_native, monkeypatch):
+    """Wiring check: with a full cache the Loader's batches come from
+    collate_cached (spied) and equal the per-sample stack."""
+    cfg, data_root = _cremad(tmp_path)
+    ds = CremadDataset(cfg, "train", data_root=data_root)
+    out = str(tmp_path / "pre")
+    preprocess(cfg, out, datasets=[ds], workers=2)
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cached = CremadDataset(cfg2, "train", data_root=data_root)
+    calls = []
+    orig = cached.collate_cached
+
+    def spy(indices, nthreads=1):
+        calls.append(list(indices))
+        return orig(indices, nthreads=nthreads)
+
+    monkeypatch.setattr(cached, "collate_cached", spy)
+    from gdl_tpu.data.loader import Loader
+
+    loader = Loader(cached, batch_size=2, shuffle=True, drop_last=True,
+                    num_workers=2, seed=0)
+    batches = list(loader)
+    assert calls and sum(len(c) for c in calls) == 2 * len(batches)
+    for indices, batch in zip(calls, batches):
+        for row, i in enumerate(indices):
+            w, f, lbl = cached[i]
+            np.testing.assert_array_equal(batch["wave"][row], w)
+            np.testing.assert_array_equal(batch["frames"][row], f)
+            assert batch["label"][row] == lbl
+
+
 def test_cli_flag_plumbs_to_config():
     import argparse
 
