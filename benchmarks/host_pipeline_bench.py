@@ -105,13 +105,14 @@ def _make_dataset(args, root):
         audio, visual, meta = build_cremad_fixture(root, args.clips,
                                                    fps=args.fps)
         cfg = Config(dataset="CREMAD", fps=args.fps, audio_path=audio,
-                     visual_path=visual, batch_size=args.batch)
+                     visual_path=visual, batch_size=args.batch,
+                     compute_dtype="bfloat16")
         return cfg, CremadDataset(cfg, "train", data_root=meta)
     from gdl_tpu.data.datasets import KSDataset
 
     data, class_file = build_ks_fixture(root, args.clips)
     cfg = Config(dataset="KineticSound", use_video_frames=3,
-                 batch_size=args.batch)
+                 batch_size=args.batch, compute_dtype="bfloat16")
     return cfg, KSDataset(cfg, "train", data_path=data,
                           class_file=class_file)
 

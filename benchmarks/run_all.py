@@ -332,6 +332,7 @@ CONFIGS = {
     "resnet_bs64": lambda it: bench_resnet(64, it),
     "resnet_bs64_no_preproc": lambda it: bench_resnet(64, it, False),
     "resnet_bs256": lambda it: bench_resnet(256, max(it // 2, 5)),
+    "resnet_bs512": lambda it: bench_resnet(512, max(it // 4, 3)),
     "ks_bs64": lambda it: bench_resnet(64, it, dataset="KineticSound",
                                        fps=3),
     "mmtm_bs64": lambda it: bench_intermediate("mmtm", 64, it),
