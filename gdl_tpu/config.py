@@ -79,6 +79,12 @@ class Config:
     # and resampling entirely (the host-pipeline bottleneck — KS shapes
     # are resample-bound at ~90 clips/s/core decoded live); per-epoch
     # augmentation (frame selection, audio crop) still runs identically.
+    preprocessed_write: bool = False  # populate preprocessed_path ON THE
+    # FLY: any live-decoded sample also writes its cache entry (atomic,
+    # idempotent — same files tools/preprocess_dataset.py builds), so the
+    # first epoch warms the cache and later epochs take the native
+    # batched read path. Costs extra first-epoch decode (ALL frames of
+    # each clip go onto the canonical canvas, not just the selected ones).
     batch_size: int = 64
     epochs: int = 100
     optimizer: str = "sgd"  # ['sgd', 'AdaGrad', 'Adam']
@@ -237,6 +243,11 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         help="offline-decoded cache root (tools/"
                              "preprocess_dataset.py); skips host wav/JPEG "
                              "decode + resample")
+    parser.add_argument("--preprocessed_write", default=d.preprocessed_write,
+                        type=int,
+                        help="1 = populate --preprocessed_path on the fly "
+                             "from live decodes (first epoch warms the "
+                             "cache)")
     parser.add_argument("--batch_size", default=d.batch_size, type=int)
     parser.add_argument("--epochs", default=d.epochs, type=int)
     parser.add_argument("--optimizer", default=d.optimizer, type=str)

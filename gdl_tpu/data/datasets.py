@@ -228,6 +228,18 @@ class _AVListDataset:
         if root:
             cached = self._getitem_preprocessed(idx, train, rng, audio_rng,
                                                 root)
+            if cached is None and getattr(self.cfg, "preprocessed_write",
+                                          False):
+                # on-the-fly cache warm-up (--preprocessed_write): write
+                # this clip's entry (idempotent/atomic — data/cache.py),
+                # then serve from the cache so the sample is byte-equal
+                # to every later cached epoch. The failed cached attempt
+                # above consumed NO rng draws (it bails on missing files
+                # before any), so the retry sees the same stream. Any
+                # write/decode failure falls through to live decode.
+                if self._write_cache_entry(idx, root):
+                    cached = self._getitem_preprocessed(
+                        idx, train, rng, audio_rng, root)
             if cached is not None:
                 return cached
         wave = _audio_fixed(self.audio[idx], self.dataset_name, audio_rng)
@@ -281,6 +293,27 @@ class _AVListDataset:
     # gdl_collate_cached) preads waveforms + selected frame rows straight
     # into the final batch arrays. Bitwise-equal to the per-sample path
     # (tests/test_preprocessed.py).
+
+    def _write_cache_entry(self, idx: int, root: str) -> bool:
+        """--preprocessed_write: build this clip's cache files (both are
+        idempotent — only the missing one is decoded) and invalidate the
+        batch path's memoized miss so the next collate_cached picks the
+        entry up. Returns False on any decode/write failure."""
+        from gdl_tpu.data import cache
+
+        try:
+            cache.write_audio(self.audio[idx], self.dataset_name,
+                              preprocessed_audio_file(root,
+                                                      self.audio[idx]))
+            cache.write_frames(self.image[idx],
+                               preprocessed_frames_file(root,
+                                                        self.image[idx]))
+        except Exception:
+            return False
+        pc = getattr(self, "_pre_cache", None)
+        if pc is not None and pc[0] == root:
+            pc[1].pop(idx, None)
+        return True
 
     def _pre_entry(self, idx: int, root: str):
         """Memoized per-clip cache metadata, or False when this clip is

@@ -236,6 +236,60 @@ def test_loader_uses_native_collate(tmp_path, no_native, monkeypatch):
             assert batch["label"][row] == lbl
 
 
+def test_preprocessed_write_warms_cache(tmp_path, no_native):
+    """--preprocessed_write: an EMPTY cache root fills on the fly from
+    live decodes — epoch-0 samples are bitwise-equal to pure live
+    decode, the cache files appear, and later epochs serve from the
+    cache (batch fast path included) with the same bytes."""
+    cfg, data_root = _cremad(tmp_path)
+    live = CremadDataset(cfg, "train", data_root=data_root)
+    out = str(tmp_path / "pre")
+    cfg2, _ = _cremad(tmp_path, preprocessed=out)
+    cfg2.preprocessed_write = True
+    warm = CremadDataset(cfg2, "train", data_root=data_root)
+
+    from gdl_tpu.data.datasets import (
+        preprocessed_audio_file,
+        preprocessed_frames_file,
+    )
+
+    assert not os.path.exists(preprocessed_audio_file(out, warm.audio[0]))
+    for epoch in (0, 1):
+        live.set_epoch(epoch)
+        warm.set_epoch(epoch)
+        for i in range(len(live)):
+            wl, fl, ll = live[i]
+            ww, fw, lw = warm[i]
+            np.testing.assert_array_equal(wl, ww)
+            np.testing.assert_array_equal(fl, fw)
+            assert ll == lw
+    for i in range(len(warm)):
+        assert os.path.exists(preprocessed_audio_file(out, warm.audio[i]))
+        assert os.path.exists(preprocessed_frames_file(out, warm.image[i]))
+    if native.collate_available():
+        warm.set_epoch(2)
+        got = warm.collate_cached(list(range(len(warm))), nthreads=1)
+        assert got is not None
+        live.set_epoch(2)
+        for row in range(len(warm)):
+            wl, fl, ll = live[row]
+            np.testing.assert_array_equal(got[0][row], wl)
+            np.testing.assert_array_equal(got[1][row], fl)
+            assert got[2][row] == ll
+
+
+def test_preprocessed_write_flag_plumbs():
+    import argparse
+
+    from gdl_tpu.config import add_arguments, from_args
+
+    parser = argparse.ArgumentParser()
+    add_arguments(parser, dgl=True)
+    ns = parser.parse_args(["--ckpt_path", "x", "--preprocessed_path",
+                            "/pre", "--preprocessed_write", "1"])
+    assert from_args(ns).preprocessed_write
+
+
 def test_cli_flag_plumbs_to_config():
     import argparse
 

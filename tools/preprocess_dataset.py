@@ -30,60 +30,22 @@ import os
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gdl_tpu.config import AUDIO_PARAMS, Config  # noqa: E402
+from gdl_tpu.config import Config  # noqa: E402
+from gdl_tpu.data import cache as cache_writers  # noqa: E402
 from gdl_tpu.data.datasets import (  # noqa: E402
-    RAW_IMAGE_SIZE,
-    _decode_frame,
-    listdir_nohidden,
     make_dataset,
     preprocessed_audio_file,
     preprocessed_frames_file,
 )
-from gdl_tpu.data.wav import load_wav  # noqa: E402
 
 
-def _write_audio(path: str, dataset: str, out_file: str) -> None:
-    if os.path.exists(out_file):
-        return
-    sr = AUDIO_PARAMS[dataset]["sample_rate"]
-    wave = load_wav(path, sr)
-    os.makedirs(os.path.dirname(out_file), exist_ok=True)
-    tmp = out_file + ".tmp.npy"
-    np.save(tmp, wave.astype(np.float32))
-    os.replace(tmp, out_file)
-
-
-def _write_frames(video_dir: str, out_file: str) -> None:
-    if os.path.exists(out_file):
-        return
-    entries = sorted(listdir_nohidden(video_dir))
-    names = [os.path.basename(e) for e in entries]
-    frames = []
-    for e in entries:
-        try:
-            frames.append(_decode_frame(e))
-        except Exception:
-            # corrupt image -> black frame, matching the live loader
-            # (_load_frames; dataset/KSDataset.py:182-187)
-            frames.append(np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3),
-                                   np.uint8))
-    if not frames:
-        frames = [np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3), np.uint8)]
-        names = [""]
-    os.makedirs(os.path.dirname(out_file), exist_ok=True)
-    # plain .npy (NOT npz): the zip layer costs ~1 ms/clip and forces a
-    # full read; mmap'd .npy lets __getitem__ gather only the selected
-    # frames. Names ride a sidecar (unicode array — no pickle needed).
-    tmp = out_file + ".tmp.npy"
-    np.save(tmp, np.stack(frames))
-    os.replace(tmp, out_file)
-    tmp = out_file + ".names.tmp.npy"
-    np.save(tmp, np.array(names))
-    os.replace(tmp, out_file + ".names.npy")
+# single-clip writers live in gdl_tpu.data.cache (shared with the
+# on-the-fly --preprocessed_write path); kept under the old names for
+# this tool's callers/tests
+_write_audio = cache_writers.write_audio
+_write_frames = cache_writers.write_frames
 
 
 def preprocess(cfg: Config, out_root: str, modes=("train", "test"),
