@@ -272,6 +272,66 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False,
     return batch_size / dt, dt * 1e3
 
 
+def bench_resnet_eval(batch_size: int, iters: int, export: bool = False,
+                      width: int = 64, stages=None):
+    """Forward-only (serving/eval) flagship throughput — CREMA-D dual
+    ResNet-18 DGL classifier on preprocessed inputs (the shapes the AOT
+    serving artifact consumes; the eval STFT is measured separately by
+    the *_no_preproc train delta). export=True replays the actual
+    jax.export artifact (serve.export_eval) instead of model.apply —
+    same program modulo the export round-trip, so the pair verifies the
+    serialization path adds no overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.models.classifier import AVClassifierDGL
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.optim import make_optimizer
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 fps=1, batch_size=batch_size, compute_dtype="bfloat16",
+                 log_grad_csv=False, encoder_width=width,
+                 encoder_stages=list(stages) if stages else [2, 2, 2, 2])
+    model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               make_optimizer(cfg, 100))
+    r = jax.random.PRNGKey(1)
+    f, t = cfg.spec_shape
+    audio = jax.random.normal(r, (batch_size, f, t, 1), jnp.bfloat16)
+    visual = jax.random.normal(r, (batch_size, cfg.fps, 224, 224, 3),
+                               jnp.bfloat16)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if export:
+        from gdl_tpu.serve import export_eval
+
+        exported = export_eval(model, variables, (audio, visual))
+        fwd = lambda a, v: exported.call(a, v)[0]
+    else:
+        fwd = lambda a, v: model.apply(variables, a, v, train=False)[0]
+
+    @jax.jit
+    def many(audio, visual):
+        def body(_, a):
+            out = fwd(a, visual)
+            return a + (jnp.sum(out) * 1e-8).astype(a.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, audio)
+                       .astype(jnp.float32))
+
+    import time as _t
+
+    float(many(audio, visual))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(many(audio, visual))
+        best = min(best, _t.perf_counter() - t0)
+    dt = best / iters
+    return batch_size / dt, dt * 1e3
+
+
 def bench_intermediate_eval(model_name: str, batch_size: int, iters: int,
                             pallas_eval: bool = False):
     """Forward-only (serving/eval) intermediate-family throughput; the
@@ -344,6 +404,11 @@ CONFIGS = {
     # train changes dropout correlation + BN stat count — RESULTS.md)
     "mmformer_bs64_shared": lambda it: bench_intermediate(
         "mmformer_n", 64, it, share_streams=True),
+    "resnet_eval_bs64": lambda it: bench_resnet_eval(64, it),
+    "resnet_eval_bs256": lambda it: bench_resnet_eval(256, max(it // 2, 5)),
+    # replays the serialized jax.export artifact — pairs with
+    # resnet_eval_bs64 to verify the serving round-trip is overhead-free
+    "resnet_export_bs64": lambda it: bench_resnet_eval(64, it, export=True),
     "mmformer_eval_bs64": lambda it: bench_intermediate_eval(
         "mmformer_n", 64, it),
     "mmformer_eval_bs64_pallas": lambda it: bench_intermediate_eval(
