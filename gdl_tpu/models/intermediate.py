@@ -380,3 +380,28 @@ class MMFormerN(nn.Module):
             x_f, x_r, x_i = (self.fc(self._inter_tail(s, train))
                              for s in seqs)
         return x_f, mu_rgb, std_rgb, mu_depth, std_depth, x_r, x_i
+
+
+def build_intermediate(name: str, n_classes: int, width: int = 64,
+                       dtype: Any = jnp.float32,
+                       share_streams: bool = False,
+                       batched_inter: bool = False,
+                       **model_kwargs):
+    """Model factory for the intermediate family. Returns (model, kind)
+    where `kind` names the eval-output contract: 'triple' = MMTM's
+    (out, out_a, out_v) (mmtm_net.py:388-400), 'single' = SE-fusion's one
+    logits array (sefusion.py:52-63), 'seven' = SURF_Fomer_N's 7-tuple
+    (surf_mmfomer.py:337-356). Shared by the main_intermediate.py driver
+    and the serving exporter (gdl_tpu/serve.py)."""
+    if name == "mmtm":
+        return MMTMNet(num_classes=n_classes, width=width, dtype=dtype,
+                       **model_kwargs), "triple"
+    if name == "sefusion":
+        return SEFusionNet(num_classes=n_classes, width=width, dtype=dtype,
+                           **model_kwargs), "single"
+    if name == "mmformer_n":
+        return MMFormerN(num_classes=n_classes, width=width, dtype=dtype,
+                         share_streams=share_streams,
+                         batched_inter=batched_inter,
+                         **model_kwargs), "seven"
+    raise NotImplementedError("unknown intermediate model: " + name)

@@ -27,16 +27,20 @@ from jax import export as jax_export
 
 
 def export_eval(model, variables: dict, example_inputs: Sequence[Any],
-                platforms: Optional[Sequence[str]] = None):
+                platforms: Optional[Sequence[str]] = None,
+                apply_kwargs: Optional[dict] = None):
     """Export `model.apply(variables, *inputs, train=False)` with the
     weights closed over as constants. Returns a jax.export.Exported.
 
     platforms: lowering targets, e.g. ("tpu",) or ("tpu", "cpu");
-    None = the current default backend.
+    None = the current default backend. apply_kwargs: extra static
+    keyword arguments for apply (e.g. av_inputs=True for the
+    intermediate family's AV adapter).
     """
+    extra = dict(apply_kwargs or {})
 
     def serve_fn(*inputs):
-        return model.apply(variables, *inputs, train=False)
+        return model.apply(variables, *inputs, train=False, **extra)
 
     specs = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype)
                   for x in example_inputs)
@@ -119,5 +123,74 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
     exported = export_eval(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         (audio, visual), platforms=platforms)
+    save_exported(exported, out_path)
+    return exported
+
+
+def export_intermediate_from_checkpoint(cfg, model_name: str,
+                                        ckpt_path: str, out_path: str,
+                                        batch_size: Optional[int] = None,
+                                        platforms: Sequence[str] = ("cpu",
+                                                                    "tpu"),
+                                        share_streams: bool = False,
+                                        **model_kwargs):
+    """main_intermediate.py --export_path: AOT-export the intermediate
+    family's eval forward (MMTM 'triple' (out, out_a, out_v), SE-fusion
+    'single' logits, SURF_Fomer_N 7-tuple — models/intermediate.py) from
+    a legacy checkpoint written by that driver. The exported callable
+    takes the preprocessed eval tensors (audio [B,F,T,1] f32, visual
+    [B,1,224,224,3] f32; the AV adapter runs inside the artifact,
+    mmtm_net.py:381-387). Torch .pth interop is not wired here: the
+    reference never released intermediate-family checkpoints (its
+    surf_mmfomer/mmtm nets are not CLI-reachable upstream, SURVEY §2.6).
+
+    cpu-containing artifacts force the XLA self-attention eval path —
+    the fused Pallas eval kernel (models/transformer.py SA_PALLAS_EVAL)
+    is a Mosaic custom call that only lowers for tpu; tpu-only exports
+    keep it."""
+    from gdl_tpu.models import transformer as _t
+    from gdl_tpu.models.intermediate import build_intermediate
+    from gdl_tpu.train.dgl import TrainState
+    from gdl_tpu.train.optim import make_optimizer
+    from gdl_tpu.utils.checkpoint import (
+        load_legacy_checkpoint,
+        restore_params_into_state,
+    )
+
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    model, kind = build_intermediate(model_name, cfg.n_classes,
+                                     cfg.encoder_width, dtype=dtype,
+                                     share_streams=share_streams,
+                                     **model_kwargs)
+    f, t = cfg.spec_shape
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "drop": rng, "dropout": rng, "pe": rng},
+        jnp.zeros((2, f, t, 1), jnp.float32),
+        jnp.zeros((2, 1, 224, 224, 3), jnp.float32),
+        train=False, av_inputs=True)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=make_optimizer(cfg, 1).init(
+                           variables["params"]))
+    state = restore_params_into_state(
+        state, load_legacy_checkpoint(ckpt_path, cfg))
+
+    b = batch_size or cfg.batch_size
+    audio = jnp.zeros((b, f, t, 1), jnp.float32)
+    visual = jnp.zeros((b, 1, 224, 224, 3), jnp.float32)
+    prev_eval_kernel = _t.SA_PALLAS_EVAL
+    if "cpu" in platforms:
+        _t.SA_PALLAS_EVAL = False
+    try:
+        exported = export_eval(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            (audio, visual), platforms=platforms,
+            apply_kwargs={"av_inputs": True})
+    finally:
+        _t.SA_PALLAS_EVAL = prev_eval_kernel
     save_exported(exported, out_path)
     return exported

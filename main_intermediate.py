@@ -24,7 +24,7 @@ from gdl_tpu.config import add_arguments, from_args
 from gdl_tpu.data.datasets import make_dataset
 from gdl_tpu.data.loader import Loader
 from gdl_tpu.data.preprocess import make_eval_preprocess, make_train_preprocess
-from gdl_tpu.models.intermediate import MMFormerN, MMTMNet, SEFusionNet
+from gdl_tpu.models.intermediate import build_intermediate
 from gdl_tpu.parallel.distributed import maybe_initialize
 from gdl_tpu.parallel.mesh import batch_sharding, make_mesh, state_sharding
 from gdl_tpu.train.auxi import make_auxi_train_step
@@ -55,21 +55,21 @@ def get_arguments():
                         "[3B] call (eval bit-identical; train keeps "
                         "the dropout distribution). Measured a WASH "
                         "at bs64 on v5e — kept as an experiment flag")
+    parser.add_argument("--export_path", default=None, type=str,
+                        help="write an AOT serving artifact (jax.export, "
+                        "weights baked in) of this model's eval forward "
+                        "from the checkpoint FILE at --ckpt_path, then "
+                        "exit — the valid.py --export_path equivalent "
+                        "for the intermediate family")
     return parser.parse_args()
 
 
 def build_model(name: str, n_classes: int, width: int = 64,
                 dtype=jnp.float32, share_streams: bool = False,
                 batched_inter: bool = False):
-    if name == "mmtm":
-        return MMTMNet(num_classes=n_classes, width=width,
-                       dtype=dtype), "triple"
-    if name == "sefusion":
-        return SEFusionNet(num_classes=n_classes, width=width,
-                           dtype=dtype), "single"
-    return MMFormerN(num_classes=n_classes, width=width, dtype=dtype,
-                     share_streams=share_streams,
-                     batched_inter=batched_inter), "seven"
+    return build_intermediate(name, n_classes, width, dtype=dtype,
+                              share_streams=share_streams,
+                              batched_inter=batched_inter)
 
 
 def make_sefusion_step(model, cfg, optimizer, base_rng):
@@ -106,6 +106,15 @@ def main():
     cfg = from_args(args)
     cfg.fps = 1  # the AV adapter squeezes a single frame
     print(cfg, "model:", args.model)
+
+    if args.export_path:
+        from gdl_tpu.serve import export_intermediate_from_checkpoint
+
+        export_intermediate_from_checkpoint(
+            cfg, args.model, cfg.ckpt_path, args.export_path,
+            share_streams=bool(args.share_unimodal_streams))
+        print("Serving artifact written to", args.export_path)
+        return
 
     rng = setup_seed(cfg.random_seed)
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"

@@ -110,3 +110,63 @@ def test_multi_platform_export(tmp_path):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_intermediate_export_roundtrip(tmp_path):
+    """main_intermediate.py --export_path: the intermediate family's
+    serving artifact replays the exact eval forward for each output
+    contract (MMTM triple / SE-fusion single / SURF_Fomer_N 7-tuple)."""
+    import pytest  # noqa: F401  (kept for symmetry with the suite style)
+
+    from gdl_tpu.models import transformer as _t
+    from gdl_tpu.models.intermediate import build_intermediate
+    from gdl_tpu.serve import export_intermediate_from_checkpoint
+    from gdl_tpu.train.dgl import TrainState
+    from gdl_tpu.train.optim import make_optimizer
+    from gdl_tpu.utils.checkpoint import save_legacy_checkpoint
+
+    cfg = Config(**dict(TINY, ckpt_path=str(tmp_path)))
+    f, t = cfg.spec_shape
+    audio = jnp.asarray(np.random.RandomState(4).randn(2, f, t, 1),
+                        jnp.float32)
+    visual = jnp.asarray(np.random.RandomState(5).randn(2, 1, 224, 224, 3),
+                         jnp.float32)
+
+    for name, n_out, kwargs in (("mmtm", 3, {}),
+                                ("sefusion", 1, {}),
+                                ("mmformer_n", 7,
+                                 {"embed_dim": 32})):
+        model, _ = build_intermediate(name, cfg.n_classes,
+                                      cfg.encoder_width, **kwargs)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "drop": rng,
+                                "dropout": rng, "pe": rng},
+                               audio, visual, train=False, av_inputs=True)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=make_optimizer(cfg, 1).init(
+                               variables["params"]))
+        ckpt = save_legacy_checkpoint(cfg, state, epoch=1, acc=0.5)
+
+        out_path = os.path.join(tmp_path, f"{name}.hlo")
+        flag_before = _t.SA_PALLAS_EVAL
+        export_intermediate_from_checkpoint(cfg, name, ckpt, out_path,
+                                            batch_size=2,
+                                            platforms=("cpu",), **kwargs)
+        assert _t.SA_PALLAS_EVAL == flag_before  # gate restored
+
+        ref = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          audio, visual, train=False, av_inputs=True)
+        got = load_exported(out_path).call(audio, visual)
+        if n_out == 1:
+            got, ref = (got,), (ref,)
+        assert len(got) == len(ref) == n_out
+        for g, r in zip(got, ref):
+            # CPU oneDNN GEMMs reassociate between compiles (~1e-6 rel;
+            # the same artifact noted for batched_inter in
+            # models/intermediate.py) — exact on TPU, loose here
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+        os.remove(ckpt)  # next model reuses the ckpt dir
