@@ -194,6 +194,8 @@ class MMFormer(nn.Module):
     seq_len: int = 196  # tokens after the stem at 224² input (14·14)
     drop_mode: str = "average"  # 'average' | 'unbalance'
     dtype: Any = jnp.float32
+    use_pallas: bool = True  # eval-kernel gate threaded to the attention
+    # modules (gdl_tpu/serve.py sets False for cpu-containing exports)
 
     def setup(self):
         w = self.width
@@ -209,7 +211,9 @@ class MMFormer(nn.Module):
                         for i in range(3)]
         self.intra = [MMTransformerModel(modal_num=3, dim=self.embed_dim,
                                          depth=1, heads=8, mlp_dim=4096,
-                                         dtype=self.dtype, name=f"intra{i}")
+                                         dtype=self.dtype,
+                                         use_pallas=self.use_pallas,
+                                         name=f"intra{i}")
                       for i in range(3)]
         self.restores = [nn.Conv(2 * w, (3, 3), padding=[(1, 1), (1, 1)],
                                  dtype=self.dtype, name=f"restore{i}")
@@ -252,6 +256,8 @@ class MMFormerN(nn.Module):
     width: int = 64
     seq_len: int = 196
     dtype: Any = jnp.float32
+    use_pallas: bool = True  # eval-kernel gate threaded to the attention
+    # modules (gdl_tpu/serve.py sets False for cpu-containing exports)
     share_streams: bool = False  # OPT-IN perf mode: compute each
     # modality's project->PE->intra token stream ONCE and reuse it across
     # the fused and unimodal fusion passes (the live x_rgb stream is
@@ -295,14 +301,18 @@ class MMFormerN(nn.Module):
                         for i in range(2)]
         self.intra = [MMTransformerModel(modal_num=2, dim=self.embed_dim,
                                          depth=1, heads=8, mlp_dim=4096,
-                                         dtype=self.dtype, name=f"intra{i}")
+                                         dtype=self.dtype,
+                                         use_pallas=self.use_pallas,
+                                         name=f"intra{i}")
                       for i in range(2)]
         self.inter_pe = LearnedPositionalEncoding(2 * self.seq_len,
                                                    self.embed_dim,
                                                    name="inter_pe")
         self.inter = MMTransformerModel(modal_num=2, dim=self.embed_dim,
                                         depth=1, heads=8, mlp_dim=4096,
-                                        dtype=self.dtype, name="inter")
+                                        dtype=self.dtype,
+                                        use_pallas=self.use_pallas,
+                                        name="inter")
         # Conv1d(392, 196, k1) over tokens == a dense mixing of the token
         # axis; kernel [392, 196] applied to [B, 392, C] on the token dim
         self.token_fuse = self.param("token_fuse", dense_xavier_init,
@@ -386,6 +396,7 @@ def build_intermediate(name: str, n_classes: int, width: int = 64,
                        dtype: Any = jnp.float32,
                        share_streams: bool = False,
                        batched_inter: bool = False,
+                       use_pallas: bool = True,
                        **model_kwargs):
     """Model factory for the intermediate family. Returns (model, kind)
     where `kind` names the eval-output contract: 'triple' = MMTM's
@@ -403,5 +414,6 @@ def build_intermediate(name: str, n_classes: int, width: int = 64,
         return MMFormerN(num_classes=n_classes, width=width, dtype=dtype,
                          share_streams=share_streams,
                          batched_inter=batched_inter,
+                         use_pallas=use_pallas,
                          **model_kwargs), "seven"
     raise NotImplementedError("unknown intermediate model: " + name)

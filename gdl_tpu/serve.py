@@ -147,8 +147,10 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
     cpu-containing artifacts force the XLA self-attention eval path —
     the fused Pallas eval kernel (models/transformer.py SA_PALLAS_EVAL)
     is a Mosaic custom call that only lowers for tpu; tpu-only exports
-    keep it."""
-    from gdl_tpu.models import transformer as _t
+    keep it. The gate is threaded immutably via the model's `use_pallas`
+    constructor flag (same pattern as export_from_checkpoint's
+    dataclasses.replace on use_pallas_attn_eval) — no module-global
+    mutation, so concurrent traces in the same process are unaffected."""
     from gdl_tpu.models.intermediate import build_intermediate
     from gdl_tpu.train.dgl import TrainState
     from gdl_tpu.train.optim import make_optimizer
@@ -162,6 +164,7 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
     model, kind = build_intermediate(model_name, cfg.n_classes,
                                      cfg.encoder_width, dtype=dtype,
                                      share_streams=share_streams,
+                                     use_pallas="cpu" not in platforms,
                                      **model_kwargs)
     f, t = cfg.spec_shape
     rng = jax.random.PRNGKey(0)
@@ -181,16 +184,10 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
     b = batch_size or cfg.batch_size
     audio = jnp.zeros((b, f, t, 1), jnp.float32)
     visual = jnp.zeros((b, 1, 224, 224, 3), jnp.float32)
-    prev_eval_kernel = _t.SA_PALLAS_EVAL
-    if "cpu" in platforms:
-        _t.SA_PALLAS_EVAL = False
-    try:
-        exported = export_eval(
-            model,
-            {"params": state.params, "batch_stats": state.batch_stats},
-            (audio, visual), platforms=platforms,
-            apply_kwargs={"av_inputs": True})
-    finally:
-        _t.SA_PALLAS_EVAL = prev_eval_kernel
+    exported = export_eval(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        (audio, visual), platforms=platforms,
+        apply_kwargs={"av_inputs": True})
     save_exported(exported, out_path)
     return exported

@@ -112,7 +112,8 @@ def main():
 
         export_intermediate_from_checkpoint(
             cfg, args.model, cfg.ckpt_path, args.export_path,
-            share_streams=bool(args.share_unimodal_streams))
+            share_streams=bool(args.share_unimodal_streams),
+            batched_inter=bool(args.batched_inter))
         print("Serving artifact written to", args.export_path)
         return
 

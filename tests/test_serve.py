@@ -72,7 +72,11 @@ def test_export_from_checkpoint_end_to_end(tmp_path):
 
     cfg = Config(**dict(TINY, ckpt_path=str(tmp_path)))
     model = AVClassifierDGL(config=cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+    # PRNGKey(7), NOT the exporter's internal PRNGKey(0) init
+    # (serve.py export_from_checkpoint) — the artifact only matches the
+    # live model if the checkpoint was actually restored, so a no-op
+    # restore_params_into_state fails this test.
+    state = create_train_state(model, cfg, jax.random.PRNGKey(7),
                                make_optimizer(cfg, 1))
     ckpt = save_legacy_checkpoint(cfg, state, epoch=1, acc=0.5)
 
@@ -138,7 +142,9 @@ def test_intermediate_export_roundtrip(tmp_path):
                                  {"embed_dim": 32})):
         model, _ = build_intermediate(name, cfg.n_classes,
                                       cfg.encoder_width, **kwargs)
-        rng = jax.random.PRNGKey(0)
+        # PRNGKey(7) != the exporter's internal PRNGKey(0) init
+        # (serve.py:167) — see test_export_from_checkpoint_end_to_end.
+        rng = jax.random.PRNGKey(7)
         variables = model.init({"params": rng, "drop": rng,
                                 "dropout": rng, "pe": rng},
                                audio, visual, train=False, av_inputs=True)
@@ -154,7 +160,9 @@ def test_intermediate_export_roundtrip(tmp_path):
         export_intermediate_from_checkpoint(cfg, name, ckpt, out_path,
                                             batch_size=2,
                                             platforms=("cpu",), **kwargs)
-        assert _t.SA_PALLAS_EVAL == flag_before  # gate restored
+        # the eval-kernel gate is threaded via the model's use_pallas
+        # constructor flag — the module global is never mutated
+        assert _t.SA_PALLAS_EVAL == flag_before
 
         ref = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
