@@ -87,12 +87,26 @@ class Loader:
         if fast is not None:
             out = fast(indices, nthreads=self.num_workers)
             if out is not None:
-                return {"wave": out[0], "frames": out[1], "label": out[2]}
+                batch = {"wave": out[0], "frames": out[1],
+                         "label": out[2]}
+                if len(out) > 3:
+                    batch["frame_sizes"] = out[3]
+                return batch
         samples = list(pool.map(self.dataset.__getitem__, indices))
+        if isinstance(samples[0], dict):
+            # pre-tensorized datasets (e.g. preprocessed synthetic sets in
+            # tests) yield dicts; stack per key with no raw-contract names
+            return {k: (np.asarray([s[k] for s in samples], np.int32)
+                        if k == "label"
+                        else np.stack([s[k] for s in samples]))
+                    for k in samples[0]}
         waves = np.stack([s[0] for s in samples])
         frames = np.stack([s[1] for s in samples])
         labels = np.asarray([s[2] for s in samples], np.int32)
-        return {"wave": waves, "frames": frames, "label": labels}
+        batch = {"wave": waves, "frames": frames, "label": labels}
+        if len(samples[0]) > 3:  # per-frame original sizes (crop geometry)
+            batch["frame_sizes"] = np.stack([s[3] for s in samples])
+        return batch
 
     def set_epoch(self, epoch: int) -> None:
         """Align the shuffle/augmentation epoch for RESUMED runs: the next

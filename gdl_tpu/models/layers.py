@@ -139,18 +139,14 @@ def batch_norm(train: bool, dtype: Any = jnp.float32,
 
     groups > 1 selects per-replica (DataParallel-semantics) statistics —
     see GroupedBatchNorm; groups == 1 is global-batch sync-BN (the default
-    under the mesh)."""
-    if groups > 1:
-        return GroupedBatchNorm(groups=groups, use_running_average=not train,
-                                momentum=0.9, epsilon=1e-5, dtype=dtype,
-                                name=name)
-    return nn.BatchNorm(
-        use_running_average=not train,
-        momentum=0.9,
-        epsilon=1e-5,
-        dtype=dtype,
-        name=name,
-    )
+    under the mesh). Both store torch's UNBIASED batch variance in the
+    running var (flax nn.BatchNorm stores the biased one — an eval-time
+    n/(n-1) delta, material at small spatial sizes; retired for full-loop
+    eval parity, tests/test_full_loop_parity.py)."""
+    return GroupedBatchNorm(groups=max(groups, 1),
+                            use_running_average=not train,
+                            momentum=0.9, epsilon=1e-5, dtype=dtype,
+                            name=name)
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

@@ -251,12 +251,20 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
 
 
 def run_training(cfg: Config, model, train_set, test_set,
-                 dgl: bool = True) -> float:
+                 dgl: bool = True, raw_batches: bool = True,
+                 epoch_callback=None) -> float:
     """Full --train flow (main_dgl.py:296-396). Returns best accuracy.
 
     Multi-host aware: each host decodes only its batch shard, and file
     artifacts (CSVs, TensorBoard, checkpoints) are written by process 0
-    only — every host computes the identical replicated metrics."""
+    only — every host computes the identical replicated metrics.
+
+    raw_batches=False consumes pre-tensorized {'audio','visual','label'}
+    batches with no in-step preprocessing (full-loop parity tests feed
+    both this and the torch reference loop the identical tensors).
+    epoch_callback(epoch=..., means=..., acc=..., lr=..., state=...) is
+    invoked after each epoch's train+eval — an observation hook for
+    tests and external monitors."""
     pc, pi = jax.process_count(), jax.process_index()
     primary = pi == 0
     if pc > 1 and not cfg.eval_drop_last:
@@ -271,7 +279,8 @@ def run_training(cfg: Config, model, train_set, test_set,
                          num_workers=cfg.num_workers, seed=cfg.random_seed,
                          process_index=pi, process_count=pc)
     steps_per_epoch = max(len(train_loader), 1)
-    h = build_harness(cfg, model, steps_per_epoch, dgl=dgl)
+    h = build_harness(cfg, model, steps_per_epoch, dgl=dgl,
+                      raw_batches=raw_batches)
 
     os.makedirs(cfg.ckpt_path, exist_ok=True)
     acc_csv = None
@@ -297,6 +306,10 @@ def run_training(cfg: Config, model, train_set, test_set,
         train_loader.set_epoch(epoch)
         means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv)
         acc, acc_a, acc_v = evaluate(h, test_loader)
+        if epoch_callback is not None:
+            epoch_callback(epoch=epoch, means=means,
+                           acc=(acc, acc_a, acc_v),
+                           lr=lr_for_epoch(cfg, epoch), state=h.state)
         if acc_csv is not None:
             acc_csv.write_row([acc, acc_a, acc_v])
             acc_csv.flush()
