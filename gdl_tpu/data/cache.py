@@ -40,29 +40,36 @@ def write_frames(video_dir: str, out_file: str) -> None:
     256^2 canvas as one C-order .npy (read back memory-mapped / row-
     preaded) plus a .names.npy sidecar with the sorted entry names so
     the per-epoch random frame selection draws the same indices as the
-    live path."""
+    live path, and a .sizes.npy sidecar with each frame's ORIGINAL
+    (H, W) so the device draws RandomResizedCrop parameters in original
+    coordinates (the torchvision-exact geometry; datasets._cached_sizes
+    reads it back)."""
     if os.path.exists(out_file):
         return
     from gdl_tpu.data.datasets import (
         RAW_IMAGE_SIZE,
-        _decode_frame,
+        _decode_frame_with_size,
         listdir_nohidden,
     )
 
     entries = sorted(listdir_nohidden(video_dir))
     names = [os.path.basename(e) for e in entries]
-    frames = []
+    frames, sizes = [], []
     for e in entries:
         try:
-            frames.append(_decode_frame(e))
+            f, hw = _decode_frame_with_size(e)
+            frames.append(f)
+            sizes.append(hw)
         except Exception:
             # corrupt image -> black frame, matching the live loader
             # (_load_frames; dataset/KSDataset.py:182-187)
             frames.append(np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3),
                                    np.uint8))
+            sizes.append((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE))
     if not frames:
         frames = [np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3), np.uint8)]
         names = [""]
+        sizes = [(RAW_IMAGE_SIZE, RAW_IMAGE_SIZE)]
     os.makedirs(os.path.dirname(out_file), exist_ok=True)
     # plain .npy (NOT npz): the zip layer costs ~1 ms/clip and forces a
     # full read; .npy rows can be gathered individually. Names ride a
@@ -73,3 +80,6 @@ def write_frames(video_dir: str, out_file: str) -> None:
     tmp = out_file + ".names.tmp.npy"
     np.save(tmp, np.array(names))
     os.replace(tmp, out_file + ".names.npy")
+    tmp = out_file + ".sizes.tmp.npy"
+    np.save(tmp, np.asarray(sizes, np.int32))
+    os.replace(tmp, out_file + ".sizes.npy")

@@ -46,17 +46,31 @@ def listdir_nohidden(path: str) -> List[str]:
 
 
 def _decode_frame(path: str, size: int = RAW_IMAGE_SIZE) -> np.ndarray:
+    return _decode_frame_with_size(path, size)[0]
+
+
+def _decode_frame_with_size(path: str, size: int = RAW_IMAGE_SIZE):
+    """(decoded [size,size,3] u8, (orig_h, orig_w)). The original size is
+    read from the image header (cheap — no pixel decode) and shipped with
+    the batch so the device draws RandomResizedCrop parameters in
+    ORIGINAL coordinates, exactly like the reference's torchvision
+    transform on the undecoded PIL image (dataset/CramedDataset.py:76-88)."""
     if path.lower().endswith((".jpg", ".jpeg")):
         from gdl_tpu.data import native
 
         decoded = native.decode_jpeg(path, size)  # opt-in; None otherwise
         if decoded is not None:
-            return decoded
+            from PIL import Image
+
+            with Image.open(path) as img:  # header-only: lazy PIL open
+                ow, oh = img.size
+            return decoded, (oh, ow)
     from PIL import Image
 
     with Image.open(path) as img:
+        ow, oh = img.size
         img = img.convert("RGB").resize((size, size), Image.BILINEAR)
-        return np.asarray(img, np.uint8)
+        return np.asarray(img, np.uint8), (oh, ow)
 
 
 def _select_frames(entries: Sequence[str], n: int, train: bool,
@@ -77,15 +91,35 @@ def _select_frames(entries: Sequence[str], n: int, train: bool,
 
 
 def _load_frames(paths: List[str]) -> np.ndarray:
-    frames = []
+    return _load_frames_with_sizes(paths)[0]
+
+
+def _load_frames_with_sizes(paths: List[str]):
+    """(frames [T,R,R,3] u8, sizes [T,2] i32 — per-frame original H,W)."""
+    frames, sizes = [], []
     for p in paths:
         try:
-            frames.append(_decode_frame(p))
+            f, hw = _decode_frame_with_size(p)
+            frames.append(f)
+            sizes.append(hw)
         except Exception:
             # corrupt image → black frame slot (dataset/KSDataset.py:182-187)
             frames.append(np.zeros((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3),
                                    np.uint8))
-    return np.stack(frames)
+            sizes.append((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE))
+    return np.stack(frames), np.asarray(sizes, np.int32)
+
+
+def _cached_sizes(ffile: str, rows: List[int]) -> np.ndarray:
+    """Per-frame original sizes for cached clips: the .sizes.npy sidecar
+    written next to the frames file (data/cache.py). Caches built before
+    the sidecar existed fall back to the canvas size — the pre-round-4
+    crop geometry — rather than failing."""
+    try:
+        arr = np.load(ffile + ".sizes.npy")
+        return np.asarray(arr[rows], np.int32)
+    except (OSError, ValueError, IndexError):
+        return np.full((len(rows), 2), RAW_IMAGE_SIZE, np.int32)
 
 
 def _fixed_from_wave(wave: np.ndarray, dataset: str,
@@ -246,8 +280,8 @@ class _AVListDataset:
         entries = listdir_nohidden(self.image[idx])
         sel = _select_frames(entries, self.n_frames, train,
                              self.cfg.strict_compat, rng)
-        frames = _load_frames(sel)
-        return wave, frames, self.label[idx]
+        frames, sizes = _load_frames_with_sizes(sel)
+        return wave, frames, self.label[idx], sizes
 
     def _getitem_preprocessed(self, idx, train, rng, audio_rng, root):
         """Offline-cache fast path (tools/preprocess_dataset.py): the
@@ -277,8 +311,10 @@ class _AVListDataset:
         # mmap: only the selected frame rows are read from disk (real
         # KS clips carry ~10-30 decoded frames; training reads 3)
         store = np.load(ffile, mmap_mode="r")
-        frames = np.ascontiguousarray(store[[pos[n] for n in sel]])
-        return wave, frames, self.label[idx]
+        sel_rows = [pos[n] for n in sel]
+        frames = np.ascontiguousarray(store[sel_rows])
+        sizes = _cached_sizes(ffile, sel_rows)
+        return wave, frames, self.label[idx], sizes
 
     # -- batched native collate over the offline cache -------------------
     #
@@ -342,8 +378,15 @@ class _AVListDataset:
                         and f_shape[0] == len(names_arr)):
                     names = [str(n) for n in names_arr]
                     pos = {n: i for i, n in enumerate(names)}
+                    try:
+                        sizes = np.asarray(
+                            np.load(ffile + ".sizes.npy"), np.int32)
+                        if sizes.shape != (len(names), 2):
+                            sizes = None
+                    except (OSError, ValueError):
+                        sizes = None
                     entry = (afile, a_off, a_shape[0], ffile, f_off,
-                             names, pos)
+                             names, pos, sizes)
         except (OSError, ValueError):
             entry = False
         cache[1][idx] = entry
@@ -369,12 +412,12 @@ class _AVListDataset:
         rs = RAW_IMAGE_SIZE
         n = self.n_frames
         apaths, aoff, alen, tiled, starts = [], [], [], [], []
-        fpaths, foff, rows = [], [], []
+        fpaths, foff, rows, sizes = [], [], [], []
         for idx in indices:
             entry = self._pre_entry(idx, root)
             if not entry:
                 return None
-            afile, a_off, a_len, ffile, f_off, names, pos = entry
+            afile, a_off, a_len, ffile, f_off, names, pos, szs = entry
             # RNG draw order == _getitem_preprocessed: the audio crop
             # start first (crop datasets only — _fixed_from_wave draws
             # nothing for CREMAD/AVE), then the frame selection
@@ -390,6 +433,11 @@ class _AVListDataset:
                     tlen *= 2
             sel = _select_frames(names, n, train, self.cfg.strict_compat,
                                  rng)
+            sel_rows = [pos[x] for x in sel]
+            if szs is not None:
+                sizes.append(szs[sel_rows])
+            else:  # pre-sidecar cache: canvas-coordinate geometry
+                sizes.append(np.full((n, 2), rs, np.int32))
             apaths.append(afile)
             aoff.append(a_off)
             alen.append(a_len)
@@ -397,7 +445,7 @@ class _AVListDataset:
             starts.append(start)
             fpaths.append(ffile)
             foff.append(f_off)
-            rows.extend(pos[s] for s in sel)
+            rows.extend(sel_rows)
         try:
             out = native.collate_cached(
                 apaths, np.asarray(aoff, np.int64),
@@ -412,7 +460,7 @@ class _AVListDataset:
         wave, frames = out
         frames = frames.reshape(len(indices), n, rs, rs, 3)
         labels = np.asarray([self.label[i] for i in indices], np.int32)
-        return wave, frames, labels
+        return wave, frames, labels, np.stack(sizes)
 
 
 class CremadDataset(_AVListDataset):

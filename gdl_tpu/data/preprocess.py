@@ -24,8 +24,12 @@ def make_train_preprocess(cfg: Config, image_size: int = 224):
 
     def preprocess(batch, rng: jax.Array):
         audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
-        visual = random_resized_crop_flip(batch["frames"], rng,
-                                          size=image_size)
+        # 'frame_sizes' [B,T,2] (per-frame original H,W) makes the crop
+        # geometry torchvision-exact in original coordinates; datasets
+        # ship it, synthetic batches may not (canvas-coordinate draws)
+        visual = random_resized_crop_flip(
+            batch["frames"], rng, size=image_size,
+            orig_sizes=batch.get("frame_sizes"))
         return {"audio": audio, "visual": visual, "label": batch["label"]}
 
     return preprocess

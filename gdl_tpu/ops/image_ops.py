@@ -54,7 +54,7 @@ RRC_ATTEMPTS = 10
 _MIN_RATIO, _MAX_RATIO = 3.0 / 4.0, 4.0 / 3.0
 
 
-def sample_rrc_box(key: jax.Array, h: int, w: int):
+def sample_rrc_box(key: jax.Array, h, w):
     """torchvision RandomResizedCrop.get_params, vectorized.
 
     Draws all 10 candidates at once: integer-rounded (ch, cw) from area
@@ -62,7 +62,15 @@ def sample_rrc_box(key: jax.Array, h: int, w: int):
     0 < cw <= W and 0 < ch <= H; the FIRST valid one wins (argmax of the
     mask). If none is valid the torchvision fallback applies: clamp the
     image's aspect ratio into [3/4, 4/3] and center-crop. Returns float
-    (y0, x0, ch, cw) with integer values."""
+    (y0, x0, ch, cw) with integer values.
+
+    h/w may be python ints OR traced f32 scalars — the latter lets the
+    draw happen in ORIGINAL image coordinates (the reference applies
+    RandomResizedCrop to the original-size PIL image,
+    dataset/CramedDataset.py:76-88) with per-sample sizes shipped in the
+    batch; see random_resized_crop_flip."""
+    h = jnp.asarray(h, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
     k_area, k_ratio, k_xy = jax.random.split(key, 3)
     n = RRC_ATTEMPTS
     areas = jax.random.uniform(k_area, (n,), minval=0.08,
@@ -78,11 +86,11 @@ def sample_rrc_box(key: jax.Array, h: int, w: int):
 
     # fallback: ratio-clamped center crop (torchvision transforms.py)
     in_ratio = w / h
-    fb_w = jnp.where(in_ratio < _MIN_RATIO, float(w),
+    fb_w = jnp.where(in_ratio < _MIN_RATIO, w,
                      jnp.where(in_ratio > _MAX_RATIO,
-                               jnp.round(h * _MAX_RATIO), float(w)))
+                               jnp.round(h * _MAX_RATIO), w))
     fb_h = jnp.where(in_ratio < _MIN_RATIO, jnp.round(w / _MIN_RATIO),
-                     jnp.where(in_ratio > _MAX_RATIO, float(h), float(h)))
+                     h)
 
     cw = jnp.where(any_valid, cws[first], fb_w)
     ch = jnp.where(any_valid, chs[first], fb_h)
@@ -95,11 +103,27 @@ def sample_rrc_box(key: jax.Array, h: int, w: int):
     return y0, x0, ch, cw
 
 
-def _rrc_one(img: jnp.ndarray, key: jax.Array, size: int) -> jnp.ndarray:
-    """RandomResizedCrop + HFlip for one [H, W, 3] float image."""
+def _rrc_one(img: jnp.ndarray, key: jax.Array, size: int,
+             orig_hw=None) -> jnp.ndarray:
+    """RandomResizedCrop + HFlip for one [H, W, 3] float image.
+
+    orig_hw ([2] int/float, traced) = the ORIGINAL image size before the
+    host's canonical-canvas decode. When given, the crop box is drawn in
+    original coordinates — torchvision's exact geometry distribution —
+    and mapped onto the canvas; None keeps canvas-coordinate draws (the
+    synthetic/bench paths, where no original exists)."""
     h, w = img.shape[0], img.shape[1]
     k_box, k_flip = jax.random.split(key)
-    y0, x0, ch, cw = sample_rrc_box(k_box, h, w)
+    if orig_hw is None:
+        y0, x0, ch, cw = sample_rrc_box(k_box, h, w)
+    else:
+        oh = jnp.maximum(jnp.asarray(orig_hw[0], jnp.float32), 1.0)
+        ow = jnp.maximum(jnp.asarray(orig_hw[1], jnp.float32), 1.0)
+        y0, x0, ch, cw = sample_rrc_box(k_box, oh, ow)
+        # map the original-coordinate box onto the (squashed) canvas
+        sy, sx = h / oh, w / ow
+        y0, ch = y0 * sy, ch * sy
+        x0, cw = x0 * sx, cw * sx
 
     # map crop box [y0, y0+ch) x [x0, x0+cw) → [0, size)²:
     # out(u) = in(u/scale - translate/scale) under scale_and_translate's
@@ -117,16 +141,27 @@ def _rrc_one(img: jnp.ndarray, key: jax.Array, size: int) -> jnp.ndarray:
 
 
 def random_resized_crop_flip(frames: jnp.ndarray, key: jax.Array,
-                             size: int = 224) -> jnp.ndarray:
+                             size: int = 224,
+                             orig_sizes=None) -> jnp.ndarray:
     """[B, T, H, W, 3] uint8/float frames → [B, T, size, size, 3] float32
     augmented + normalized. Each frame gets an independent crop/flip, like
     the reference's per-frame transform invocation
-    (dataset/CramedDataset.py:95-101)."""
+    (dataset/CramedDataset.py:95-101).
+
+    orig_sizes ([B, T, 2] int: per-frame original H, W — the batch's
+    'frame_sizes' key) makes the crop geometry exactly torchvision's:
+    parameters drawn against the ORIGINAL size, then mapped onto the
+    canonical canvas. None = canvas-coordinate draws (synthetic data)."""
     b, t = frames.shape[0], frames.shape[1]
     x = frames.astype(jnp.float32)
     keys = jax.random.split(key, b * t).reshape(b, t, 2)
-    out = jax.vmap(jax.vmap(_rrc_one, in_axes=(0, 0, None)),
-                   in_axes=(0, 0, None))(x, keys, size)
+    if orig_sizes is None:
+        out = jax.vmap(jax.vmap(lambda im, k: _rrc_one(im, k, size)))(
+            x, keys)
+    else:
+        out = jax.vmap(jax.vmap(
+            lambda im, k, s: _rrc_one(im, k, size, orig_hw=s)))(
+                x, keys, jnp.asarray(orig_sizes))
     return (out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 

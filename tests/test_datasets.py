@@ -94,12 +94,16 @@ def test_cremad_getitem_contract(tmp_path):
     cfg = Config(dataset="CREMAD", fps=1, audio_path=audio,
                  visual_path=visual)
     ds = CremadDataset(cfg, "test", data_root=data_root)
-    wave, frames, label = ds[0]
+    wave, frames, label, sizes = ds[0]
     assert wave.shape == (22050 * 3,)  # tiled ×3 then cropped to 3 s
     assert wave.dtype == np.float32
     assert np.max(np.abs(wave)) <= 1.0
     assert frames.shape == (1, RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3)
     assert frames.dtype == np.uint8
+    # per-frame ORIGINAL sizes ride along for original-coordinate
+    # RandomResizedCrop draws (write_jpgs emits 64x64 sources)
+    assert sizes.shape == (1, 2) and sizes.dtype == np.int32
+    np.testing.assert_array_equal(sizes, [[64, 64]])
     assert label == 2
 
 
@@ -124,7 +128,7 @@ def test_ks_tree_semantics(tmp_path):
     # vid2 removed per class (<3 frames, KSDataset.py:80-83) → 3 samples
     assert len(ds) == 3
     assert sorted(set(ds.label)) == [0, 1, 2]
-    wave, frames, label = ds[0]
+    wave, frames, label, sizes = ds[0]
     assert wave.shape == (16000 * 5,)
     assert frames.shape == (3, RAW_IMAGE_SIZE, RAW_IMAGE_SIZE, 3)
 

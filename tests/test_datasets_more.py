@@ -56,7 +56,7 @@ def test_vggsound_list_and_class_ids(tmp_path):
     # barking first-seen → 0, singing → 1 (VGGSoundDataset.py:91-102)
     assert train.label == [0, 1, 0]
     assert test.label == [1, 0]
-    wave, frames, label = test[0]
+    wave, frames, label, sizes = test[0]
     assert wave.shape == (16000 * 5,)
     assert frames.shape[0] == 3
 
@@ -83,7 +83,7 @@ def test_ave_list_building(tmp_path):
     # clip4 deduped, clip6 too small → clip4(dog=0), clip5(cat=1)
     assert len(ds) == 2
     assert ds.label == [0, 1]
-    wave, frames, label = ds[0]
+    wave, frames, label, sizes = ds[0]
     assert wave.shape == (22050 * 3,)
     assert frames.shape[0] == 1
 

@@ -52,13 +52,13 @@ def test_cremad_cached_epoch_bitwise_equal(tmp_path, no_native):
         live_tr.set_epoch(epoch)
         cached_tr.set_epoch(epoch)
         for i in range(len(live_tr)):
-            wl, fl, ll = live_tr[i]
-            wc, fc, lc = cached_tr[i]
+            wl, fl, ll, sl = live_tr[i]
+            wc, fc, lc, sc = cached_tr[i]
             np.testing.assert_array_equal(wl, wc)
             np.testing.assert_array_equal(fl, fc)
             assert ll == lc
-    wl, fl, _ = live_ev[0]
-    wc, fc, _ = cached_ev[0]
+    wl, fl, _, _ = live_ev[0]
+    wc, fc, _, _ = cached_ev[0]
     np.testing.assert_array_equal(wl, wc)
     np.testing.assert_array_equal(fl, fc)
 
@@ -74,8 +74,8 @@ def test_missing_cache_entry_falls_back_to_live(tmp_path, no_native):
     os.remove(preprocessed_audio_file(out, live.audio[1]))
     cfg2, _ = _cremad(tmp_path, preprocessed=out)
     cached = CremadDataset(cfg2, "train", data_root=data_root)
-    wl, fl, _ = live[1]
-    wc, fc, _ = cached[1]
+    wl, fl, _, _ = live[1]
+    wc, fc, _, _ = cached[1]
     np.testing.assert_array_equal(wl, wc)
     np.testing.assert_array_equal(fl, fc)
 
@@ -98,26 +98,33 @@ def _ks_tree(tmp_path):
                       rng.standard_normal(44100 * 2) * 0.1, 44100)
     cfg = lambda pre="": Config(  # noqa: E731
         dataset="KineticSound", fps=1, use_video_frames=3,
-        audio_path=str(data / "audio" / "train"),
-        visual_path=str(data / "visual" / "train_img/Image-01-FPS"),
         preprocessed_path=pre)
-    return cfg, str(class_file)
+    # KSDataset takes its tree via data_path (cfg audio/visual paths are
+    # CREMAD-family knobs it ignores) — returning it keeps the datasets
+    # NON-EMPTY; the pre-round-4 version of this fixture omitted it, so
+    # every KS assertion below ran over zero samples (vacuous — exposed
+    # when 4-tuple collate made empty batches impossible to stack)
+    return cfg, str(class_file), str(data)
 
 
 def test_ks_cached_random_crop_and_frames_equal(tmp_path, no_native):
-    cfg_of, class_file = _ks_tree(tmp_path)
-    live = KSDataset(cfg_of(), "train", class_file=class_file)
+    cfg_of, class_file, data = _ks_tree(tmp_path)
+    live = KSDataset(cfg_of(), "train", data_path=data,
+                     class_file=class_file)
+    assert len(live) == 4  # 2 classes x 2 vids — NOT vacuous
     out = str(tmp_path / "pre")
     preprocess(cfg_of(), out, datasets=[live], workers=2)
-    cached = KSDataset(cfg_of(out), "train", class_file=class_file)
+    cached = KSDataset(cfg_of(out), "train", data_path=data,
+                       class_file=class_file)
     for epoch in (0, 2):
         live.set_epoch(epoch)
         cached.set_epoch(epoch)
         for i in range(len(live)):
-            wl, fl, ll = live[i]
-            wc, fc, lc = cached[i]
+            wl, fl, ll, sl = live[i]
+            wc, fc, lc, sc = cached[i]
             np.testing.assert_array_equal(wl, wc)
             np.testing.assert_array_equal(fl, fc)
+            np.testing.assert_array_equal(sl, sc)
             assert ll == lc
 
 
@@ -144,12 +151,13 @@ def test_native_collate_bitwise_equal_cremad(tmp_path, no_native):
         cached.set_epoch(epoch)
         got = cached.collate_cached(idx, nthreads=2)
         assert got is not None
-        wave, frames, labels = got
+        wave, frames, labels, sizes = got
         for row, i in enumerate(idx):
-            w, f, lbl = cached[i]  # per-sample python cached path
+            w, f, lbl, sz = cached[i]  # per-sample python cached path
             assert wave.dtype == w.dtype and frames.dtype == f.dtype
             np.testing.assert_array_equal(wave[row], w)
             np.testing.assert_array_equal(frames[row], f)
+            np.testing.assert_array_equal(sizes[row], sz)
             assert labels[row] == lbl
 
 
@@ -159,20 +167,24 @@ def test_native_collate_bitwise_equal_ks(tmp_path, no_native, mode_epoch):
     """KS shapes: the random 5 s crop start (one randint BEFORE the frame
     draws) and the tile-to-10 s doubling must replicate exactly."""
     mode, epoch = mode_epoch
-    cfg_of, class_file = _ks_tree(tmp_path)
-    live = KSDataset(cfg_of(), "train", class_file=class_file)
+    cfg_of, class_file, data = _ks_tree(tmp_path)
+    live = KSDataset(cfg_of(), "train", data_path=data,
+                     class_file=class_file)
     out = str(tmp_path / "pre")
     preprocess(cfg_of(), out, datasets=[live], workers=2)
-    cached = KSDataset(cfg_of(out), "train", class_file=class_file)
+    cached = KSDataset(cfg_of(out), "train", data_path=data,
+                       class_file=class_file)
     idx = list(range(len(cached)))
+    assert len(idx) == 4  # NOT vacuous
     cached.set_epoch(epoch)
     got = cached.collate_cached(idx, nthreads=2)
     assert got is not None
-    wave, frames, labels = got
+    wave, frames, labels, sizes = got
     for row, i in enumerate(idx):
-        w, f, lbl = cached[i]
+        w, f, lbl, sz = cached[i]
         np.testing.assert_array_equal(wave[row], w)
         np.testing.assert_array_equal(frames[row], f)
+        np.testing.assert_array_equal(sizes[row], sz)
         assert labels[row] == lbl
 
 
@@ -198,7 +210,7 @@ def test_native_collate_partial_cache_returns_none(tmp_path, no_native):
                     num_workers=2, seed=0)
     batch = next(iter(loader))
     cached.set_epoch(1)  # Loader's __iter__ advanced to epoch 1
-    w1, f1, l1 = cached[1]
+    w1, f1, l1, _ = cached[1]
     np.testing.assert_array_equal(batch["wave"][1], w1)
     np.testing.assert_array_equal(batch["frames"][1], f1)
     assert batch["label"][1] == l1
@@ -230,7 +242,7 @@ def test_loader_uses_native_collate(tmp_path, no_native, monkeypatch):
     assert calls and sum(len(c) for c in calls) == 2 * len(batches)
     for indices, batch in zip(calls, batches):
         for row, i in enumerate(indices):
-            w, f, lbl = cached[i]
+            w, f, lbl, _ = cached[i]
             np.testing.assert_array_equal(batch["wave"][row], w)
             np.testing.assert_array_equal(batch["frames"][row], f)
             assert batch["label"][row] == lbl
@@ -258,10 +270,11 @@ def test_preprocessed_write_warms_cache(tmp_path, no_native):
         live.set_epoch(epoch)
         warm.set_epoch(epoch)
         for i in range(len(live)):
-            wl, fl, ll = live[i]
-            ww, fw, lw = warm[i]
+            wl, fl, ll, sl = live[i]
+            ww, fw, lw, sw = warm[i]
             np.testing.assert_array_equal(wl, ww)
             np.testing.assert_array_equal(fl, fw)
+            np.testing.assert_array_equal(sl, sw)
             assert ll == lw
     for i in range(len(warm)):
         assert os.path.exists(preprocessed_audio_file(out, warm.audio[i]))
@@ -272,7 +285,7 @@ def test_preprocessed_write_warms_cache(tmp_path, no_native):
         assert got is not None
         live.set_epoch(2)
         for row in range(len(warm)):
-            wl, fl, ll = live[row]
+            wl, fl, ll, _ = live[row]
             np.testing.assert_array_equal(got[0][row], wl)
             np.testing.assert_array_equal(got[1][row], fl)
             assert got[2][row] == ll

@@ -99,3 +99,82 @@ def test_extreme_aspect_hits_center_fallback():
     # fallback frequency in the same ballpark (same rejection probability)
     ours_rate, ref_rate = fb.mean(), ref_fb.mean()
     assert abs(ours_rate - ref_rate) < 0.05, (ours_rate, ref_rate)
+
+
+def _our_boxes_traced(h, w, n):
+    """Boxes drawn with TRACED (h, w) operands — the original-coordinate
+    path (batch 'frame_sizes'); same keys as _our_boxes so the h=w=canvas
+    case must reproduce the static draws bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.ops.image_ops import sample_rrc_box
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    hs = jnp.full((n,), h, jnp.float32)
+    ws = jnp.full((n,), w, jnp.float32)
+    fn = jax.jit(jax.vmap(sample_rrc_box))
+    y0, x0, ch, cw = map(np.asarray, fn(keys, hs, ws))
+    return y0, x0, ch, cw
+
+
+def test_traced_size_draws_match_static_bitwise():
+    """orig_hw == canvas must leave the pre-round-4 stream untouched:
+    identical keys + identical math → bit-identical boxes."""
+    for h, w in SIZE_CASES:
+        a = _our_boxes(h, w, 300)
+        b = _our_boxes_traced(h, w, 300)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.parametrize("h,w", [(360, 480), (720, 1280)])
+def test_original_coordinate_draws_match_oracle(h, w):
+    """VERDICT r3 item 3: the crop parameters are drawn against the
+    ORIGINAL image size (dataset/CramedDataset.py:76-88 applies
+    RandomResizedCrop to the undecoded PIL image), not the 256 canvas.
+    The traced-size sampler at a real original size must satisfy the
+    integer/bounds contract and match the torchvision oracle's area and
+    aspect marginals at that size."""
+    n = 2000
+    y0, x0, ch, cw = _our_boxes_traced(h, w, n)
+    for arr in (y0, x0, ch, cw):
+        np.testing.assert_array_equal(arr, np.round(arr))
+    assert (ch >= 1).all() and (cw >= 1).all()
+    assert (y0 >= 0).all() and (x0 >= 0).all()
+    assert (y0 + ch <= h).all() and (x0 + cw <= w).all()
+
+    rng = np.random.default_rng(0)
+    ref = np.array([_torchvision_get_params(rng, h, w) for _ in range(n)],
+                   np.float64)
+    ours_area = (ch * cw) / (h * w)
+    ref_area = (ref[:, 2] * ref[:, 3]) / (h * w)
+    ours_ratio, ref_ratio = cw / ch, ref[:, 3] / ref[:, 2]
+    assert abs(ours_area.mean() - ref_area.mean()) < 0.02
+    assert abs(ours_area.std() - ref_area.std()) < 0.02
+    assert abs(np.log(ours_ratio).mean() - np.log(ref_ratio).mean()) < 0.02
+    assert abs(np.log(ours_ratio).std() - np.log(ref_ratio).std()) < 0.02
+
+
+def test_per_frame_sizes_change_geometry():
+    """random_resized_crop_flip(orig_sizes=...) must actually use the
+    per-frame sizes: the same frames/key with a non-square original size
+    produce different pixels than canvas-coordinate draws, while
+    canvas-equal sizes reproduce them exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.ops.image_ops import random_resized_crop_flip
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (2, 2, 64, 64, 3), np.uint8)
+    key = jax.random.PRNGKey(3)
+    base = random_resized_crop_flip(frames, key, size=32)
+    same = random_resized_crop_flip(
+        frames, key, size=32,
+        orig_sizes=np.full((2, 2, 2), 64, np.int32))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    other = random_resized_crop_flip(
+        frames, key, size=32,
+        orig_sizes=np.tile(np.array([360, 480], np.int32), (2, 2, 1)))
+    assert not np.array_equal(np.asarray(base), np.asarray(other))
