@@ -55,13 +55,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def _param_spec(path, leaf, mp: int) -> P:
     """Sharding rule per parameter.
 
-    Dense kernels under the fusion/classifier heads whose input dim divides
-    the 'model' axis are sharded over it; everything else (conv kernels, BN,
-    biases) is replicated — the right layout at this model scale (encoder
+    Dense kernels under the fusion/classifier heads, plus the transformer
+    MLPs' second (wide-input) projection — ffn/fc2 in the live transformer
+    lib, mlp_fc2 in swin — are row-parallel over 'model' when their input
+    dim divides it: each shard contracts its slice of the wide hidden dim
+    and XLA all-reduces the partial products (Megatron row-parallel; no
+    activation is ever model-sharded, so dropout masks stay identical to
+    the dp-only program). Everything else (conv kernels, BN, biases,
+    attention qkv — a Pallas custom-call operand that must stay
+    replicated) keeps P() — the right layout at this model scale (encoder
     activations dominate memory, not params)."""
     names = [getattr(p, "key", "") for p in path]
-    if mp > 1 and leaf.ndim == 2 and leaf.shape[0] % mp == 0 and any(
-            ("fusion" in n) or ("classifier" in n) for n in names):
+    row_parallel = (
+        any(("fusion" in n) or ("classifier" in n) for n in names)
+        or "mlp_fc2" in names
+        or ("fc2" in names and "ffn" in names)
+    )
+    if mp > 1 and leaf.ndim == 2 and leaf.shape[0] % mp == 0 and \
+            row_parallel:
         return P("model", None)
     return P()
 

@@ -130,9 +130,12 @@ def _tree_allclose(a, b, rtol=5e-4, atol=1e-5):
                                    rtol=rtol, atol=atol)
 
 
-def test_mmformer_sharded_step_equals_single_device():
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_mmformer_sharded_step_equals_single_device(dp, mp):
     """The intermediate family's trainer (train/auxi.py — mmformer's
-    7-tuple AUXI+KL step) under the dp=8 mesh: identical loss and
+    7-tuple AUXI+KL step) under the dp=8 mesh AND the hybrid (4, 2)
+    dp x mp mesh (VERDICT r3 item 6 — the transformer ffn/fc2 kernels
+    are row-parallel over 'model'): identical loss and
     updated params vs the unsharded jit of the same step. Extends the
     DGL-only sharding equality to the family main_intermediate.py
     drives (the dropout/PE rng draws and the BN batch stats are
@@ -142,7 +145,7 @@ def test_mmformer_sharded_step_equals_single_device():
     from gdl_tpu.train.dgl import TrainState
 
     cfg = Config(dataset="CREMAD", batch_size=8, fps=1, alpha=2.0,
-                 beta=1e-5, dp=8, mp=1, log_grad_csv=False)
+                 beta=1e-5, dp=dp, mp=mp, log_grad_csv=False)
     model = MMFormerN(num_classes=6, width=8, embed_dim=32, seq_len=4)
     opt = make_optimizer(cfg, 10)
     rng = jax.random.PRNGKey(0)
@@ -180,17 +183,19 @@ def test_mmformer_sharded_step_equals_single_device():
                    jax.device_get(sh_state.params))
 
 
-def test_swin_sharded_step_equals_single_device():
-    """The swin joint path under the dp=8 mesh (tiny swin config): same
-    loss + params as the unsharded jit — the window partition/reverse
-    and relative-position gathers must be batch-shardable without
-    numeric drift."""
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_swin_sharded_step_equals_single_device(dp, mp):
+    """The swin joint path under the dp=8 mesh AND the hybrid (4, 2)
+    dp x mp mesh (mlp_fc2 kernels row-parallel over 'model'), tiny swin
+    config: same loss + params as the unsharded jit — the window
+    partition/reverse and relative-position gathers must be
+    batch-shardable without numeric drift."""
     from gdl_tpu.models.classifier import AVClassifierSwin
     from gdl_tpu.train.joint import make_joint_train_step
 
     cfg = Config(dataset="CREMAD", fusion_method="concat", alpha=1.0,
                  backbone="swin", modulation="Normal", batch_size=8,
-                 fps=1, dp=8, mp=1, log_grad_csv=False,
+                 fps=1, dp=dp, mp=mp, log_grad_csv=False,
                  swin_embed_dim=16, swin_depths=[1, 1], swin_heads=[2, 4],
                  swin_window=4, swin_img_size=32, swin_patch=4)
     model = AVClassifierSwin(config=cfg)
