@@ -51,6 +51,7 @@ ITERS = 20
 BS256_DEADLINE_S = 900.0
 SWIN_DEADLINE_S = 1500.0
 MMFORMER_DEADLINE_S = 2100.0
+OGM_DEADLINE_S = 2700.0
 
 
 def make_result(clips_per_sec: float) -> dict:
@@ -217,6 +218,46 @@ def _measure_mmformer(batch_size: int = 64, iters: int = 10):
     return batch_size / dt, mfu
 
 
+def _measure_ogm(batch_size: int = 64, iters: int = 10):
+    """Joint/OGM-GE modulated train step (main.py:286-332 — the main.py
+    driver lineage's first hardware anchor, VERDICT r3 item 4): dual
+    ResNet-18 joint classifier, LIVE OGM-GE gradient modulation (the
+    per-modality softmax-score ratio read every step + generalization-
+    enhancement noise), preprocessing included, bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.config import Config
+    from gdl_tpu.data.preprocess import make_train_preprocess
+    from gdl_tpu.data.synthetic import synthetic_batch
+    from gdl_tpu.models.classifier import AVClassifier
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.joint import make_joint_train_step
+    from gdl_tpu.train.optim import make_optimizer
+
+    steps_per_epoch = max(6698 // batch_size, 1)
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+                 fps=1, batch_size=batch_size, learning_rate=2e-3,
+                 alpha=0.3, modulation="OGM_GE", modulation_starts=0,
+                 modulation_ends=50, compute_dtype="bfloat16",
+                 log_grad_csv=False)
+    model = AVClassifier(config=cfg, dtype=jnp.bfloat16)
+    optimizer = make_optimizer(cfg, steps_per_epoch, clip_norm=None)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, optimizer)
+    preprocess = make_train_preprocess(cfg)
+    raw_step = make_joint_train_step(model, cfg, optimizer,
+                                     steps_per_epoch,
+                                     preprocess=preprocess, base_rng=rng)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, batch_size, seed=1).items()}
+    dt = _chained_ms_per_step(raw_step, state, batch, iters)
+    flops = _flops_per_step(jax.jit(raw_step), state, batch)
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops / dt / peak) if (flops and peak) else None
+    return batch_size / dt, mfu
+
+
 def main(_retry: bool = True):
     from gdl_tpu.utils.compilation_cache import enable as _enable_cache
 
@@ -258,6 +299,14 @@ def main(_retry: bool = True):
             out["mmformer_clips_per_sec"] = round(mmf_clips, 2)
             if mmf_mfu:
                 out["mmformer_mfu"] = round(mmf_mfu, 4)
+        except Exception:
+            pass
+    if time.perf_counter() - t_start < OGM_DEADLINE_S:
+        try:
+            ogm_clips, ogm_mfu = _measure_ogm()
+            out["ogm_clips_per_sec"] = round(ogm_clips, 2)
+            if ogm_mfu:
+                out["ogm_mfu"] = round(ogm_mfu, 4)
         except Exception:
             pass
     print(json.dumps(out))
