@@ -192,7 +192,7 @@ def bench_intermediate(model_name: str, batch_size: int, iters: int,
 
 
 def bench_swin_gated(batch_size: int, iters: int, fused_bwd=None,
-                     quad_shift=None, gn_barrier=None):
+                     quad_shift=None, gn_barrier=None, proj_boundary=None):
     """bench_swin under the module-level kernel gates (phase-2/auto
     fused projection backward, quadrant shift lowering, grad-norm
     materialize barrier). Clears jax caches around the run so the
@@ -207,18 +207,22 @@ def bench_swin_gated(batch_size: int, iters: int, fused_bwd=None,
     old_b = wa.FUSED_PROJECTION_BACKWARD
     old_q = sm.SHIFT_QUADRANT_LOWERING
     old_g = opt_mod.GN_MATERIALIZE_BARRIER
+    old_p = sm.PROJ_BOUNDARY
     if fused_bwd is not None:
         wa.FUSED_PROJECTION_BACKWARD = fused_bwd
     if quad_shift is not None:
         sm.SHIFT_QUADRANT_LOWERING = quad_shift
     if gn_barrier is not None:
         opt_mod.GN_MATERIALIZE_BARRIER = gn_barrier
+    if proj_boundary is not None:
+        sm.PROJ_BOUNDARY = proj_boundary
     try:
         return bench_swin(batch_size, iters, pallas=True)
     finally:
         wa.FUSED_PROJECTION_BACKWARD = old_b
         sm.SHIFT_QUADRANT_LOWERING = old_q
         opt_mod.GN_MATERIALIZE_BARRIER = old_g
+        sm.PROJ_BOUNDARY = old_p
         jax.clear_caches()
 
 
@@ -446,6 +450,11 @@ CONFIGS = {
         32, max(it // 2, 5), gn_barrier=True),
     "swin_bs32_quadshift": lambda it: bench_swin_gated(
         32, max(it // 2, 5), quad_shift=True),
+    # proj-GEMM boundary lowering A/Bs (swin.py PROJ_BOUNDARY)
+    "swin_bs32_proj_pad56": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), proj_boundary="pad56"),
+    "swin_bs32_proj_flat2d": lambda it: bench_swin_gated(
+        32, max(it // 2, 5), proj_boundary="flat2d"),
 }
 
 

@@ -104,6 +104,19 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
 # stays the simpler sequential form.
 SHIFT_QUADRANT_LOWERING = False
 
+# Proj-GEMM boundary lowering (the last profiled copy family around the
+# attention kernels: [2048,49,128]-shaped layout conversions feeding the
+# projection forward/backward GEMMs, ~0.1 ms x several sites). A/B gated
+# via benchmarks/run_all.py swin_bs32_proj*:
+#   'n49'    - slice the kernel output to the valid tokens, proj after
+#              (the shipping default)
+#   'pad56'  - proj the PADDED kernel output directly (GEMM reads the
+#              kernel buffer with no slice; pad rows carry zero
+#              cotangents so gradients are unchanged), slice after
+#   'flat2d' - proj on the flattened [B*N, C] view (forces plain 2D GEMM
+#              operand layouts)
+PROJ_BOUNDARY = "n49"
+
 
 def window_shift(xw: jnp.ndarray, shift: int,
                  inverse: bool = False) -> jnp.ndarray:
@@ -257,7 +270,8 @@ class WindowAttention(nn.Module):
                 out = window_attention_pallas_qkv_fused(
                     xp, kernel.astype(self.dtype),
                     kbias.astype(self.dtype), bias, mask,
-                    self.num_heads, n_valid=n)
+                    self.num_heads, n_valid=n,
+                    keep_pad=PROJ_BOUNDARY == "pad56")
             else:
                 from gdl_tpu.ops.window_attention import (
                     window_attention_pallas_qkv,
@@ -290,7 +304,12 @@ class WindowAttention(nn.Module):
                          use_bias=self.qkv_bias)(x)
             out = window_attention_xla_bnhd(
                 qkv.reshape(b, n, 3, self.num_heads, head_dim), bias, mask)
-        return _dense(self.dim, self.dtype, "proj")(out)
+        proj = _dense(self.dim, self.dtype, "proj")
+        if out.shape[1] != n:  # pad56: proj the padded rows, slice after
+            return proj(out)[:, :n]
+        if PROJ_BOUNDARY == "flat2d" and out.ndim == 3:
+            return proj(out.reshape(-1, c)).reshape(b, n, self.dim)
+        return proj(out)
 
 
 class SwinBlock(nn.Module):

@@ -1301,12 +1301,13 @@ def _pack_bias_mask_t(bias, mask, hg, g, n, n_pad, G, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
-                                             "n_valid"))
+                                             "n_valid", "keep_pad"))
 def window_attention_pallas_qkv_fused(x, w, bvec, bias,
                                       mask: Optional[jnp.ndarray],
                                       num_heads: int,
                                       scale: Optional[float] = None,
-                                      n_valid: Optional[int] = None):
+                                      n_valid: Optional[int] = None,
+                                      keep_pad: bool = False):
     """window_attention_pallas_qkv with the qkv PROJECTION fused into the
     forward kernel (see the fused-GEMM section comment for why — layout-
     conversion copies, not FLOPs).
@@ -1360,7 +1361,12 @@ def window_attention_pallas_qkv_fused(x, w, bvec, bias,
     w3 = w.reshape(c, 3, h * d)
     bv = bvec.reshape(3, h * d)
     out = _xw_attn_core_savep_t(static, x, w3, bv, bias_t, mask_t)
-    return out[:, :n]
+    # keep_pad: return the [B, n_pad, C] kernel output unsliced so the
+    # caller can run its projection GEMM straight off the kernel buffer
+    # and slice afterwards (pad rows carry garbage values but exactly-zero
+    # cotangents — the downstream slice's vjp zero-pads them — so dW/dx
+    # are unchanged; proj-boundary A/B, benchmarks/run_all.py)
+    return out if keep_pad else out[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",

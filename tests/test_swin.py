@@ -387,6 +387,46 @@ def test_fused_qkv_entry_matches_xla_composition(fused_bwd, monkeypatch):
                 rtol=tol, atol=5e-5, err_msg=f"{nm} h={h}")
 
 
+def test_fused_qkv_keep_pad_equivalence():
+    """keep_pad=True (the PROJ_BOUNDARY='pad56' lowering: the projection
+    GEMM consumes the padded kernel output and the slice moves after it)
+    must be value- and gradient-equivalent to the default sliced return:
+    valid rows bitwise-identical forward, identical grads through a
+    consumer that slices to the valid tokens."""
+    from gdl_tpu.ops.window_attention import (
+        window_attention_pallas_qkv_fused,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, h, b = 49, 32, 4, 8
+    n_pad = -(-n // 8) * 8
+    c = h * d
+    xp = jnp.asarray(rng.standard_normal((b, n_pad, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
+    bvec = jnp.asarray(rng.standard_normal((3 * c,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+    mask = jnp.asarray(shift_attn_mask(14, 14, 7, 3)[:4])
+    wp = jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32)
+
+    def f(xp, w, wp, keep_pad):
+        o = window_attention_pallas_qkv_fused(xp, w, bvec, bias, mask, h,
+                                              n_valid=n, keep_pad=keep_pad)
+        o = (o @ wp)[:, :n] if keep_pad else (o @ wp)  # proj, slice after
+        return jnp.sum(jnp.sin(o)), o
+
+    (v0, o0), g0 = jax.value_and_grad(
+        lambda *a: f(*a, keep_pad=False), argnums=(0, 1, 2),
+        has_aux=True)(xp, w, wp)
+    (v1, o1), g1 = jax.value_and_grad(
+        lambda *a: f(*a, keep_pad=True), argnums=(0, 1, 2),
+        has_aux=True)(xp, w, wp)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, e, nm in zip(g1, g0, ("dx", "dW", "dWp")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-6, err_msg=nm)
+
+
 def test_fused_qkv_param_tree_and_init_match_dense():
     """_QkvParams must create EXACTLY the params the flax Dense path
     creates — same tree, same shapes, same init values under the same
