@@ -173,6 +173,34 @@ def bench_with_step(cfg, dataset, workers, batch, epochs):
     return total / dt
 
 
+def bench_warmup_write(cfg, dataset, workers, batch, epochs, pre_root):
+    """First-epoch live-decode + cache-populate (--preprocessed_write)
+    vs the steady-state cached epochs that follow in the SAME process
+    (VERDICT r3 item 8: the first-epoch-on-a-fresh-dataset story). The
+    write path invalidates collate_cached's memoized misses per clip, so
+    steady state runs the native whole-batch collate without a restart."""
+    from gdl_tpu.data.loader import Loader
+
+    # warm lazy imports + the native .so OUTSIDE the measured first epoch
+    # (live path: preprocessed root not set yet)
+    dataset[0]
+    dataset.cfg.preprocessed_path = pre_root
+    dataset.cfg.preprocessed_write = True
+    loader = Loader(dataset, batch_size=batch, shuffle=True, drop_last=True,
+                    num_workers=workers, seed=0)
+    it = iter(loader)
+    t0 = time.perf_counter()
+    warm_n = sum(len(b["label"]) for b in it)
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(epochs):
+        for b in loader:
+            total += len(b["label"])
+    t_steady = time.perf_counter() - t0
+    return warm_n / t_warm, total / t_steady
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="CREMAD", choices=["CREMAD", "KS"])
@@ -187,6 +215,10 @@ def main():
                     help="build the offline cache (tools/"
                          "preprocess_dataset.py) over the fixture tree "
                          "first and bench the cached read path")
+    ap.add_argument("--warmup-write", action="store_true",
+                    help="measure the --preprocessed_write first epoch "
+                         "(live decode + cache populate) vs the cached "
+                         "steady-state epochs that follow, same process")
     args = ap.parse_args()
 
     if args.native_jpeg:
@@ -218,6 +250,17 @@ def main():
         chip_rate = 2630.0  # bench.py bs64 flagship clips/s (BENCH_r03)
         print(f"# cores to feed one chip at {chip_rate:.0f} clips/s: "
               f"{chip_rate / (best / ncores):.1f}")
+        if args.warmup_write:
+            pre_root = os.path.join(root, "warm_cache")
+            warm_cps, steady_cps = bench_warmup_write(
+                cfg, dataset, max(args.workers), args.batch, args.epochs,
+                pre_root)
+            print(f"# warmup-write first epoch (live decode + cache "
+                  f"populate): {warm_cps:.1f} clips/s "
+                  f"({warm_cps / ncores:.1f}/core)")
+            print(f"# steady-state cached epochs (same process): "
+                  f"{steady_cps:.1f} clips/s "
+                  f"({steady_cps / ncores:.1f}/core)")
         if args.with_step:
             e2e = bench_with_step(cfg, dataset, max(args.workers),
                                   args.batch, args.epochs)
