@@ -243,7 +243,15 @@ class WindowAttention(nn.Module):
         # the save-p forward also writes a residual nothing consumes), so
         # pallas is gated to training. Off-TPU the kernel only has the
         # (slow) interpret path — XLA there too (CPU tests, dryruns).
-        if self.use_pallas and train and is_tpu_backend():
+        # sa_kernel_supported: the packed-head kernels need the head
+        # group to fill whole 128-lane tiles (every Swin-B stage does:
+        # d=32, g=4); unaligned custom widths fall back to XLA instead
+        # of failing Mosaic compilation (same predicate as
+        # SelfAttention — the group-selection math is identical).
+        from gdl_tpu.ops.self_attention import sa_kernel_supported
+
+        if (self.use_pallas and train and is_tpu_backend()
+                and sa_kernel_supported(self.dim, self.num_heads)):
             # packed-head kernel fed the projection output directly —
             # the per-head split never materializes in HBM. The token pad
             # (49 -> 56) happens BEFORE the projection: padding the C-wide
@@ -282,8 +290,12 @@ class WindowAttention(nn.Module):
                 out = window_attention_pallas_qkv(
                     qkv.reshape(b, n_pad, 3, self.dim), bias, mask,
                     self.num_heads, n_valid=n)
-        elif (self.use_pallas and self.pallas_eval and self.fuse_qkv
-              and self.qkv_bias and is_tpu_backend()):
+        elif (not train and self.use_pallas and self.pallas_eval
+              and self.fuse_qkv and self.qkv_bias and is_tpu_backend()
+              and sa_kernel_supported(self.dim, self.num_heads)):
+            # `not train` is explicit (not just implied by the branch
+            # above): an unaligned-head TRAIN call must reach the
+            # differentiable XLA path, never this forward-only kernel.
             # forward-only fused kernel for EVAL (no residual writes) —
             # opt-in until measured against the XLA eval forward
             from gdl_tpu.ops.window_attention import (

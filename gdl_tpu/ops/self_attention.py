@@ -542,6 +542,23 @@ def _pick_g(num_heads: int, d: int) -> int:
     return g
 
 
+def sa_kernel_supported(dim: int, num_heads: int) -> bool:
+    """True when the packed-head Pallas kernels can lower this head
+    config. Head groups ride the 128-lane dim, so the packed group
+    width g*d must be a WHOLE number of lane tiles: configs whose
+    maximal g leaves g*d short of a 128 multiple (e.g. dim 64 with
+    8 heads -> gd 64, or 3 heads of d 64 -> g 1) hit Mosaic's
+    'infer-vector-layout: unsupported shape cast' on the in-kernel
+    [.., 3, gd] -> [.., 3*gd] collapse at COMPILE time. Callers gate on
+    this and fall back to the XLA attention path."""
+    if num_heads <= 0 or dim % num_heads:
+        return False
+    d = dim // num_heads
+    if d > 128 or 128 % d:
+        return False
+    return (_pick_g(num_heads, d) * d) % 128 == 0
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "dropout_rate", "train",
                                              "dropout_impl"))

@@ -275,3 +275,62 @@ def test_fused_eval_forward_matches_xla(case):
     ref = self_attention_xla((x @ w).reshape(b, n, 3, c), heads)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sa_kernel_supported_predicate():
+    """Packed-head kernels require the head group to fill whole 128-lane
+    tiles (g*d % 128 == 0). Unaligned configs used to reach Mosaic and
+    die at COMPILE time with 'infer-vector-layout: unsupported shape
+    cast' on the [.., 3, gd] -> [.., 3*gd] collapse (hit for real by
+    tools/share_streams_ab.py's embed_dim=64 study model on TPU)."""
+    from gdl_tpu.ops.self_attention import sa_kernel_supported
+
+    # the shipping configs
+    assert sa_kernel_supported(512, 8)    # mmformer: d=64, g=2
+    assert sa_kernel_supported(1024, 32)  # swin stage 4: d=32, g=4
+    assert sa_kernel_supported(128, 4)    # swin stage 1
+    assert sa_kernel_supported(256, 2)    # d=128, g=1
+    # unaligned: max g still leaves gd short of a lane tile
+    assert not sa_kernel_supported(64, 8)    # gd = 64
+    assert not sa_kernel_supported(192, 3)   # d=64, g=1 -> gd=64
+    assert not sa_kernel_supported(96, 2)    # d=48: 128 % 48 != 0
+    assert not sa_kernel_supported(80, 8)    # d=10: 128 % 10 != 0
+    # degenerate
+    assert not sa_kernel_supported(100, 3)   # dim % heads != 0
+    assert not sa_kernel_supported(512, 2)   # d=256 > 128 lanes
+
+
+def test_unaligned_heads_fall_back_to_xla_on_tpu(monkeypatch):
+    """With the backend REPORTING tpu, an unaligned head config must
+    take the XLA branch (not the pallas_call, which would fail Mosaic
+    compilation); an aligned config must still pick the kernel. Traced
+    on CPU by intercepting the gated entry points."""
+    from gdl_tpu.models import transformer as tmod
+
+    calls = []
+
+    def fake_fused(x, kernel, heads, **kw):
+        calls.append("fused")
+        import gdl_tpu.ops.self_attention as sa
+        qkv = (x @ kernel).reshape(x.shape[0], x.shape[1], 3, x.shape[2])
+        return sa.self_attention_xla(qkv, heads)
+
+    def fake_fused_eval(x, kernel, heads, **kw):
+        calls.append("fused_eval")
+        import gdl_tpu.ops.self_attention as sa
+        qkv = (x @ kernel).reshape(x.shape[0], x.shape[1], 3, x.shape[2])
+        return sa.self_attention_xla(qkv, heads)
+
+    import gdl_tpu.ops.self_attention as sa
+    monkeypatch.setattr(sa, "self_attention_fused", fake_fused)
+    monkeypatch.setattr(sa, "self_attention_fused_eval", fake_fused_eval)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    for dim, heads, expect_kernel in ((64, 8, False), (128, 4, True)):
+        m = tmod.SelfAttention(dim=dim, heads=heads)
+        x = jnp.zeros((2, 10, dim))
+        variables = m.init({"params": jax.random.PRNGKey(0)}, x, False)
+        calls.clear()
+        y = m.apply(variables, x, True)
+        assert y.shape == (2, 10, dim)
+        assert (calls == ["fused"]) is expect_kernel, (dim, heads, calls)

@@ -467,15 +467,20 @@ def test_model_pallas_branch_integration_cpu(monkeypatch):
 
     monkeypatch.setattr(swin_mod, "is_tpu_backend", lambda: True)
 
-    kw = dict(modality="visual", img_size=56, patch_size=4, embed_dim=32,
-              depths=(2,), num_heads=(2,), window=7, drop_path_rate=0.0,
+    # embed 128 / heads 4 = the real Swin-B stage-1 head config (d=32,
+    # g=4 -> gd=128): the smallest config sa_kernel_supported admits —
+    # tiny widths like 32x2 fall back to XLA by design (a sub-128-lane
+    # head group cannot lower on Mosaic). img 28 keeps interpret-mode
+    # cost down (one 7x7 window).
+    kw = dict(modality="visual", img_size=28, patch_size=4, embed_dim=128,
+              depths=(2,), num_heads=(4,), window=7, drop_path_rate=0.0,
               window_resident=True)
     m_pal = SwinTransformer(use_pallas_attn=True, fuse_qkv_gemm=True,
                             **kw)
     m_xla = SwinTransformer(use_pallas_attn=False, **kw)
 
     rng = np.random.default_rng(23)
-    x = jnp.asarray(rng.standard_normal((1, 1, 56, 56, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 1, 28, 28, 3)), jnp.float32)
     v_pal = m_pal.init({"params": jax.random.PRNGKey(9)}, x, train=True)
     v_xla = m_xla.init({"params": jax.random.PRNGKey(9)}, x, train=True)
     assert jax.tree_util.tree_structure(v_pal["params"]) == \
@@ -511,15 +516,20 @@ def test_model_pallas_eval_branch_integration_cpu(monkeypatch):
 
     monkeypatch.setattr(swin_mod, "is_tpu_backend", lambda: True)
 
-    kw = dict(modality="visual", img_size=56, patch_size=4, embed_dim=32,
-              depths=(2,), num_heads=(2,), window=7, drop_path_rate=0.0,
+    # embed 128 / heads 4 = the real Swin-B stage-1 head config (d=32,
+    # g=4 -> gd=128): the smallest config sa_kernel_supported admits —
+    # tiny widths like 32x2 fall back to XLA by design (a sub-128-lane
+    # head group cannot lower on Mosaic). img 28 keeps interpret-mode
+    # cost down (one 7x7 window).
+    kw = dict(modality="visual", img_size=28, patch_size=4, embed_dim=128,
+              depths=(2,), num_heads=(4,), window=7, drop_path_rate=0.0,
               window_resident=True)
     m_ev = SwinTransformer(use_pallas_attn=True, fuse_qkv_gemm=True,
                            pallas_attn_eval=True, **kw)
     m_xla = SwinTransformer(use_pallas_attn=False, **kw)
 
     rng = np.random.default_rng(29)
-    x = jnp.asarray(rng.standard_normal((1, 1, 56, 56, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 1, 28, 28, 3)), jnp.float32)
     v_ev = m_ev.init({"params": jax.random.PRNGKey(11)}, x, train=False)
     v_xla = m_xla.init({"params": jax.random.PRNGKey(11)}, x, train=False)
     assert jax.tree_util.tree_structure(v_ev["params"]) == \
@@ -529,3 +539,38 @@ def test_model_pallas_eval_branch_integration_cpu(monkeypatch):
     o_xla = m_xla.apply(v_xla, x, train=False)
     np.testing.assert_allclose(np.asarray(o_ev), np.asarray(o_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unaligned_head_config_falls_back_to_xla(monkeypatch):
+    """A WindowAttention config whose packed head group can't fill a
+    128-lane tile (e.g. dim 32, 2 heads -> gd 64... <128) must take the
+    XLA branch on TPU — train AND eval — instead of handing Mosaic a
+    kernel it cannot compile ('infer-vector-layout: unsupported shape
+    cast', hit for real on hardware during round 4). The pallas entry
+    points are replaced with tripwires; the XLA path must be the one
+    traced."""
+    import gdl_tpu.models.swin as swin_mod
+    import gdl_tpu.ops.window_attention as wa
+
+    monkeypatch.setattr(swin_mod, "is_tpu_backend", lambda: True)
+    for name in ("window_attention_pallas_qkv_fused",
+                 "window_attention_pallas_qkv",
+                 "window_attention_pallas_qkv_fused_eval"):
+        monkeypatch.setattr(
+            wa, name,
+            lambda *a, _n=name, **k: (_ for _ in ()).throw(
+                AssertionError(f"{_n} chosen for an unaligned config")))
+
+    kw = dict(modality="visual", img_size=28, patch_size=4, embed_dim=32,
+              depths=(2,), num_heads=(2,), window=7, drop_path_rate=0.0,
+              window_resident=True)
+    m = SwinTransformer(use_pallas_attn=True, fuse_qkv_gemm=True,
+                        pallas_attn_eval=True, **kw)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((1, 1, 28, 28, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(3)}, x, train=True)
+    g = jax.grad(lambda p: jnp.sum(jnp.sin(
+        m.apply({"params": p}, x, train=True))))(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+    out = m.apply(v, x, train=False)
+    assert np.isfinite(np.asarray(out)).all()
