@@ -178,8 +178,10 @@ def _measure_swin(batch_size: int = 32, iters: int = 10):
 
 def _measure_mmformer(batch_size: int = 64, iters: int = 10):
     """mmformer_n train step (bf16, rbg dropout streams + fused Pallas
-    self-attention) — the intermediate-family anchor; 1.64x round 2
-    (benchmarks/RESULTS.md)."""
+    self-attention, shared unimodal streams — the main_intermediate.py
+    shipping default since the round-4 accuracy-neutral A/B,
+    tools/share_streams_ab.py) — the intermediate-family anchor;
+    benchmarks/RESULTS.md."""
     import jax
     import jax.numpy as jnp
 
@@ -192,7 +194,7 @@ def _measure_mmformer(batch_size: int = 64, iters: int = 10):
     cfg = Config(dataset="CREMAD", batch_size=batch_size, fps=1,
                  compute_dtype="bfloat16", log_grad_csv=False)
     model, kind = build_model("mmformer_n", cfg.n_classes, 64,
-                              dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16, share_streams=True)
     opt = make_optimizer(cfg, 100)
     rng = jax.random.PRNGKey(0)
     f, t = cfg.spec_shape

@@ -258,18 +258,21 @@ class MMFormerN(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = True  # eval-kernel gate threaded to the attention
     # modules (gdl_tpu/serve.py sets False for cpu-containing exports)
-    share_streams: bool = False  # OPT-IN perf mode: compute each
-    # modality's project->PE->intra token stream ONCE and reuse it across
-    # the fused and unimodal fusion passes (the live x_rgb stream is
-    # identical between the x_f and x_r calls, and x_ir between x_f and
-    # x_i — 6 intra stacks become 4). NOT default: the reference's three
-    # fusion_function calls draw INDEPENDENT dropout masks per pass and
-    # update the projection BNs' running stats three times
-    # (surf_mmfomer.py:337-351); sharing keeps every gradient unbiased
-    # (each pass's marginal distribution is unchanged) but correlates
-    # the gradient noise across passes and halves the BN running-stat
-    # update count. Eval forwards are bit-identical either way
-    # (tests/test_intermediate.py).
+    share_streams: bool = False  # perf mode (+15% step throughput):
+    # compute each modality's project->PE->intra token stream ONCE and
+    # reuse it across the fused and unimodal fusion passes (the live
+    # x_rgb stream is identical between the x_f and x_r calls, and x_ir
+    # between x_f and x_i — 6 intra stacks become 4). The CLASS default
+    # stays the reference's structure: its three fusion_function calls
+    # draw INDEPENDENT dropout masks per pass and update the projection
+    # BNs' running stats three times (surf_mmfomer.py:337-351); sharing
+    # keeps every gradient unbiased (each pass's marginal distribution
+    # is unchanged) but correlates the gradient noise across passes and
+    # halves the BN running-stat update count. Eval forwards are
+    # bit-identical either way (tests/test_intermediate.py), and the
+    # round-4 convergence A/B measured the mode accuracy-neutral
+    # (tools/share_streams_ab.py; benchmarks/RESULTS.md), so the DRIVER
+    # (main_intermediate.py) defaults it ON unless --strict_compat.
     batched_inter: bool = False  # run the three fusion passes' INTER half
     # (pe -> inter transformer -> token fuse -> pool -> fc) as ONE call
     # over the batch-concatenated [3B, 392, C] token streams. The inter

@@ -44,11 +44,17 @@ def get_arguments():
     add_arguments(parser, dgl=True)
     parser.add_argument("--model", default="mmtm",
                         choices=["mmtm", "sefusion", "mmformer_n"])
-    parser.add_argument("--share_unimodal_streams", default=0, type=int,
+    parser.add_argument("--share_unimodal_streams", default=-1, type=int,
                         help="mmformer_n only: reuse each modality's "
                         "intra token stream across the fused/unimodal "
-                        "passes (opt-in perf mode; see MMFormerN "
-                        "docstring for the dropout/BN-stat caveats)")
+                        "passes (+15%% step throughput, eval "
+                        "bit-identical; accuracy-neutral in the "
+                        "round-4 convergence study, "
+                        "tools/share_streams_ab.py). Default -1 = on "
+                        "unless --strict_compat (the reference's three "
+                        "fusion passes draw independent dropout masks "
+                        "and triple-count BN running stats, "
+                        "surf_mmfomer.py:337-351); 0/1 force")
     parser.add_argument("--batched_inter", default=0, type=int,
                         help="mmformer_n only: run the three fusion "
                         "passes' BN-free inter half as one batched "
@@ -62,6 +68,19 @@ def get_arguments():
                         "exit — the valid.py --export_path equivalent "
                         "for the intermediate family")
     return parser.parse_args()
+
+
+def resolve_share_streams(flag: int, strict_compat: bool) -> bool:
+    """--share_unimodal_streams tri-state: -1 (default) resolves to ON
+    except under --strict_compat, which keeps the reference's independent
+    dropout masks / triple-counted BN running stats
+    (surf_mmfomer.py:337-351). The round-4 convergence study measured the
+    shared mode accuracy-neutral (tools/share_streams_ab.py; disposition
+    in benchmarks/RESULTS.md), so the +15% step throughput is the
+    default. 0/1 force either mode regardless of strict_compat."""
+    if flag >= 0:
+        return bool(flag)
+    return not strict_compat
 
 
 def build_model(name: str, n_classes: int, width: int = 64,
@@ -105,6 +124,8 @@ def main():
     _cc(getattr(args, 'compilation_cache_dir', None))
     cfg = from_args(args)
     cfg.fps = 1  # the AV adapter squeezes a single frame
+    share_streams = resolve_share_streams(args.share_unimodal_streams,
+                                          cfg.strict_compat)
     print(cfg, "model:", args.model)
 
     if args.export_path:
@@ -112,7 +133,7 @@ def main():
 
         export_intermediate_from_checkpoint(
             cfg, args.model, cfg.ckpt_path, args.export_path,
-            share_streams=bool(args.share_unimodal_streams),
+            share_streams=share_streams,
             batched_inter=bool(args.batched_inter))
         print("Serving artifact written to", args.export_path)
         return
@@ -122,8 +143,7 @@ def main():
              else jnp.float32)
     model, kind = build_model(args.model, cfg.n_classes,
                               cfg.encoder_width, dtype=dtype,
-                              share_streams=bool(
-                                  args.share_unimodal_streams),
+                              share_streams=share_streams,
                               batched_inter=bool(args.batched_inter))
     train_set = make_dataset(cfg, "train")
     test_set = make_dataset(cfg, "test")

@@ -260,3 +260,20 @@ def test_mmformer_n_batched_inter_eval_identical_train_runs():
         g = jax.grad(loss)(variables["params"])
         gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)))
         assert np.isfinite(gn) and gn > 0, share
+
+
+def test_resolve_share_streams_tri_state():
+    """The driver's --share_unimodal_streams default (-1) resolves to ON
+    unless --strict_compat (which keeps the reference's three independent
+    fusion passes, surf_mmfomer.py:337-351); 0/1 force either mode. The
+    round-4 convergence A/B (benchmarks/RESULTS.md) is the basis for the
+    default-on disposition."""
+    from main_intermediate import resolve_share_streams
+
+    assert resolve_share_streams(-1, strict_compat=False) is True
+    assert resolve_share_streams(-1, strict_compat=True) is False
+    # explicit values win over strict_compat in both directions
+    assert resolve_share_streams(0, strict_compat=False) is False
+    assert resolve_share_streams(0, strict_compat=True) is False
+    assert resolve_share_streams(1, strict_compat=False) is True
+    assert resolve_share_streams(1, strict_compat=True) is True

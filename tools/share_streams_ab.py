@@ -24,15 +24,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def make_data(rng, n, n_classes=6, hw=64, sep=1.2):
-    ta = rng.standard_normal((n_classes, hw, hw, 3))
-    tb = rng.standard_normal((n_classes, hw, hw, 3))
+def make_data(rng, n, n_classes=6, hw=64, sep=1.2, templates=None):
+    """Class-templated gaussian data. `templates` (ta, tb) must be SHARED
+    between the train and test draws of one seed — the first revision of
+    this study drew fresh test templates, which made generalization
+    impossible by construction and left every eval at chance while train
+    accuracy hit 1.0 (the round-4 'neutral at chance' non-result)."""
+    if templates is None:
+        templates = (rng.standard_normal((n_classes, hw, hw, 3)),
+                     rng.standard_normal((n_classes, hw, hw, 3)))
+    ta, tb = templates
     y = rng.integers(0, n_classes, n)
     a = (sep * ta[y] + rng.standard_normal((n, hw, hw, 3))).astype(
         np.float32)
     b = (sep * tb[y] + rng.standard_normal((n, hw, hw, 3))).astype(
         np.float32)
-    return a, b, y.astype(np.int32)
+    return (a, b, y.astype(np.int32)), templates
 
 
 def run_variant(share: bool, seed: int, train, test, epochs: int,
@@ -80,8 +87,21 @@ def run_variant(share: bool, seed: int, train, test, epochs: int,
     step_fn = steps_cache[key]
     eval_fn = steps_cache[("eval", share)]
 
+    def test_acc(state):
+        ta_, tb_, ty = test
+        preds = []
+        for s in range(len(ty) // batch):
+            sl = slice(s * batch, (s + 1) * batch)
+            preds.append(np.asarray(eval_fn(state.params,
+                                            state.batch_stats,
+                                            jnp.asarray(ta_[sl]),
+                                            jnp.asarray(tb_[sl]))))
+        preds = np.concatenate(preds)
+        return float((preds == ty[:len(preds)]).mean())
+
     n = len(y)
     order_rng = np.random.default_rng(seed * 7 + 1)
+    accs = []  # per-epoch eval accuracy (convergence trajectory)
     for _ in range(epochs):
         order = order_rng.permutation(n)
         for s in range(n // batch):
@@ -89,15 +109,8 @@ def run_variant(share: bool, seed: int, train, test, epochs: int,
             state, _ = step_fn(state, {
                 "audio": jnp.asarray(a[sel]), "visual": jnp.asarray(b[sel]),
                 "label": jnp.asarray(y[sel])})
-    ta_, tb_, ty = test
-    preds = []
-    for s in range(len(ty) // batch):
-        sl = slice(s * batch, (s + 1) * batch)
-        preds.append(np.asarray(eval_fn(state.params, state.batch_stats,
-                                        jnp.asarray(ta_[sl]),
-                                        jnp.asarray(tb_[sl]))))
-    return float((np.concatenate(preds) == ty[:len(np.concatenate(preds))
-                                              ]).mean())
+        accs.append(test_acc(state))
+    return accs
 
 
 def main():
@@ -121,25 +134,31 @@ def main():
         # the env var alone does not override it)
         jax.config.update("jax_platforms", "cpu")
 
-    results = {False: [], True: []}
+    results = {False: [], True: []}   # per-seed final accuracy
+    aucs = {False: [], True: []}      # per-seed mean-over-epochs accuracy
     for seed in range(args.seeds):
         data_rng = np.random.default_rng(100 + seed)
-        train = make_data(data_rng, 96, sep=args.sep)
-        test = make_data(np.random.default_rng(900 + seed), 64,
-                         sep=args.sep)
+        train, templates = make_data(data_rng, 96, sep=args.sep)
+        test, _ = make_data(np.random.default_rng(900 + seed), 128,
+                            sep=args.sep, templates=templates)
         for share in (False, True):
-            acc = run_variant(share, seed, train, test, args.epochs,
-                              args.batch)
-            results[share].append(acc)
-            print(f"seed {seed} share={share}: acc {acc:.4f}", flush=True)
+            accs = run_variant(share, seed, train, test, args.epochs,
+                               args.batch)
+            results[share].append(accs[-1])
+            aucs[share].append(float(np.mean(accs)))
+            print(f"seed {seed} share={share}: final {accs[-1]:.4f} "
+                  f"auc {np.mean(accs):.4f}  traj "
+                  f"{np.round(accs, 3).tolist()}", flush=True)
 
-    u, s = np.array(results[False]), np.array(results[True])
-    print("\nunshared: mean %.4f std %.4f  %s" % (u.mean(), u.std(),
-                                                  np.round(u, 4)))
-    print("shared:   mean %.4f std %.4f  %s" % (s.mean(), s.std(),
-                                                np.round(s, 4)))
-    print("delta (shared - unshared): %.4f  (pooled std %.4f)"
-          % (s.mean() - u.mean(), np.sqrt((u.var() + s.var()) / 2)))
+    for label, d in (("final", results), ("auc (convergence)", aucs)):
+        u, s = np.array(d[False]), np.array(d[True])
+        print(f"\n[{label}]")
+        print("unshared: mean %.4f std %.4f  %s" % (u.mean(), u.std(),
+                                                    np.round(u, 4)))
+        print("shared:   mean %.4f std %.4f  %s" % (s.mean(), s.std(),
+                                                    np.round(s, 4)))
+        print("delta (shared - unshared): %.4f  (pooled std %.4f)"
+              % (s.mean() - u.mean(), np.sqrt((u.var() + s.var()) / 2)))
 
 
 if __name__ == "__main__":
