@@ -57,7 +57,8 @@ def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True,
     return batch_size * iters / dt, dt / iters * 1e3
 
 
-def bench_swin(batch_size: int, iters: int, pallas: bool = False):
+def bench_swin(batch_size: int, iters: int, pallas: bool = False,
+               fuse_mlp: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +71,8 @@ def bench_swin(batch_size: int, iters: int, pallas: bool = False):
     cfg = Config(dataset="CREMAD", fusion_method="concat", backbone="swin",
                  alpha=1.0, batch_size=batch_size,
                  compute_dtype="bfloat16", modulation="Normal",
-                 log_grad_csv=False, fps=1, use_pallas_attn=pallas)
+                 log_grad_csv=False, fps=1, use_pallas_attn=pallas,
+                 fuse_mlp=fuse_mlp)
     model = AVClassifierSwin(config=cfg, dtype=jnp.bfloat16)
     opt = make_optimizer(cfg, 100)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
@@ -422,6 +424,10 @@ CONFIGS = {
                                               pallas=True),
     "swin_dgl_bs16": lambda it: bench_swin_dgl(16, max(it // 2, 5)),
     "swin_dgl_bs32": lambda it: bench_swin_dgl(32, max(it // 2, 5)),
+    # fused fc1+gelu+fc2 MLP Pallas kernel, recompute backward
+    # (ops/mlp.py, --fuse_mlp)
+    "swin_bs32_fusemlp": lambda it: bench_swin(32, max(it // 2, 5),
+                                               pallas=True, fuse_mlp=True),
     "swin_bs32_pallas": lambda it: bench_swin(32, max(it // 2, 5),
                                               pallas=True),
     "swin_bs64_pallas": lambda it: bench_swin(64, max(it // 4, 5),

@@ -173,6 +173,12 @@ class Config:
     # emitter forced a layout-conversion copy at every kernel boundary
     # (12.5 ms/step of the dual-Swin-B joint step); identical math,
     # params, and init (tests/test_swin.py)
+    fuse_mlp: bool = False  # fused fc1+gelu+fc2 MLP Pallas kernel in the
+    # Swin blocks (ops/mlp.py): the 4C intermediate stays VMEM-resident
+    # (stages 0-2; stage 3's weights don't fit and stay XLA); training
+    # backward recomputes. Isolated stage shapes measured 1.18-1.32x vs
+    # the XLA chain on v5e — default follows the full-step hardware A/B
+    # (benchmarks/RESULTS.md round 4).
     use_pallas_attn_eval: bool = True  # forward-only fused kernel for
     # EVAL/inference (no p/qkv residual writes). Hardware A/B: 13.21 vs
     # 13.96 ms/step dual-Swin-B eval bs16 (1211 vs 1146 clips/s, +5.7%
@@ -332,6 +338,10 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
                         type=lambda s: s not in ("0", "false", "False"),
                         help="qkv projection GEMM inside the Pallas "
                              "attention kernel (swin train path only)")
+    parser.add_argument("--fuse_mlp", default=d.fuse_mlp,
+                        type=lambda s: s not in ("0", "false", "False"),
+                        help="fused fc1+gelu+fc2 MLP Pallas kernel in "
+                             "the Swin blocks (stages 0-2; TPU-gated)")
     parser.add_argument("--compilation_cache_dir", default=None, type=str,
                         help="persistent XLA compile cache; '' disables "
                              "(default ~/.cache/gdl_tpu/xla)")

@@ -241,7 +241,7 @@ class AVClassifierSwin(nn.Module):
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn,
                   pallas_attn_eval=cfg.use_pallas_attn_eval, pe=pe,
-                  fuse_qkv_gemm=cfg.fuse_qkv_gemm,
+                  fuse_qkv_gemm=cfg.fuse_qkv_gemm, fuse_mlp=cfg.fuse_mlp,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)
@@ -299,7 +299,7 @@ class AVClassifierSwinDGL(nn.Module):
                   num_heads=tuple(cfg.swin_heads), window=cfg.swin_window,
                   use_pallas_attn=cfg.use_pallas_attn,
                   pallas_attn_eval=cfg.use_pallas_attn_eval,
-                  fuse_qkv_gemm=cfg.fuse_qkv_gemm,
+                  fuse_qkv_gemm=cfg.fuse_qkv_gemm, fuse_mlp=cfg.fuse_mlp,
                   window_resident=cfg.swin_window_resident,
                   dtype=self.dtype)
         self.audio_net = SwinTransformer(modality="audio", **kw)

@@ -193,13 +193,14 @@ class DropPath(nn.Module):
 
 
 class _QkvParams(nn.Module):
-    """Declares the qkv projection's parameters with EXACTLY the tree and
-    init `_dense` would create (attn/qkv/{kernel, bias}, float32,
+    """Declares a Dense layer's parameters with EXACTLY the tree and
+    init `_dense` would create ({kernel, bias}, float32,
     trunc-normal(0.02) / zeros — swin_transformer.py:585-592) and returns
-    them raw — the fused-GEMM Pallas entry consumes the kernel directly
-    instead of calling Dense, so the torch-interop name map, init parity,
-    and existing checkpoints stay valid (tests/test_swin.py fused-path
-    tests assert tree + init equality)."""
+    them raw — the fused-GEMM Pallas entries (qkv projection, MLP)
+    consume the kernels directly instead of calling Dense, so the
+    torch-interop name map, init parity, and existing checkpoints stay
+    valid (tests/test_swin.py fused-path tests assert tree + init
+    equality)."""
 
     features: int
     use_bias: bool = True
@@ -347,8 +348,35 @@ class SwinBlock(nn.Module):
     use_pallas: bool = False
     fuse_qkv: bool = True
     pallas_eval: bool = True
+    fuse_mlp: bool = False  # run fc1+gelu+fc2 as ONE Pallas kernel with
+    # the 4C intermediate VMEM-resident (ops/mlp.py); recompute backward.
+    # Param tree/init identical to the Dense chain (_QkvParams).
     resident: bool = False
     dtype: Any = jnp.float32
+
+    def _mlp(self, y):
+        """fc1 -> exact gelu -> fc2 on [..., C]; fused Pallas kernel when
+        gated on and the flattened shape is supported (Swin-B stages 0-2;
+        stage 3's 16.8 MB weights fall back — ops/mlp.py)."""
+        c = y.shape[-1]
+        hid = int(self.dim * self.mlp_ratio)
+        m = int(np.prod(y.shape[:-1]))
+        if self.fuse_mlp and is_tpu_backend():
+            from gdl_tpu.ops.mlp import mlp_fused, mlp_kernel_supported
+
+            if mlp_kernel_supported(m, c, hid,
+                                    jnp.dtype(self.dtype).itemsize):
+                w1, b1 = _QkvParams(hid, name="mlp_fc1")(c)
+                w2, b2 = _QkvParams(self.dim, name="mlp_fc2")(hid)
+                out = mlp_fused(y.reshape(m, c).astype(self.dtype),
+                                w1.astype(self.dtype),
+                                b1.astype(self.dtype),
+                                w2.astype(self.dtype),
+                                b2.astype(self.dtype))
+                return out.reshape(y.shape)
+        y = _dense(hid, self.dtype, "mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        return _dense(self.dim, self.dtype, "mlp_fc2")(y)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -378,10 +406,7 @@ class SwinBlock(nn.Module):
             x = shortcut + DropPath(self.drop_path,
                                     name="drop_path1")(att, train)
             y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            y = _dense(int(self.dim * self.mlp_ratio), self.dtype,
-                       "mlp_fc1")(y)
-            y = nn.gelu(y, approximate=False)
-            y = _dense(self.dim, self.dtype, "mlp_fc2")(y)
+            y = self._mlp(y)
             return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
         b, l, c = x.shape
@@ -406,9 +431,7 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        y = _dense(int(self.dim * self.mlp_ratio), self.dtype, "mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
-        y = _dense(self.dim, self.dtype, "mlp_fc2")(y)
+        y = self._mlp(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
 
@@ -468,6 +491,8 @@ class SwinTransformer(nn.Module):
     # kernel (layout-conversion copies; see WindowAttention)
     pallas_attn_eval: bool = True  # forward-only fused kernel at eval
     # (measured win, see WindowAttention.pallas_eval)
+    fuse_mlp: bool = False  # fused fc1+gelu+fc2 Pallas kernel
+    # (ops/mlp.py, SwinBlock.fuse_mlp) — stages 0-2; stage 3 stays XLA
     use_checkpoint: bool = False  # rematerialize blocks (the reference
     # ctor's use_checkpoint flag) — trades recompute for activation memory
     window_resident: bool = False  # keep the token stream window-major
@@ -505,7 +530,8 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[block_idx]),
                     use_pallas=self.use_pallas_attn,
                     fuse_qkv=self.fuse_qkv_gemm,
-                    pallas_eval=self.pallas_attn_eval, resident=resident,
+                    pallas_eval=self.pallas_attn_eval,
+                    fuse_mlp=self.fuse_mlp, resident=resident,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{i}")(x, train)
                 block_idx += 1
