@@ -177,8 +177,11 @@ class Config:
     # Swin blocks (ops/mlp.py): the 4C intermediate stays VMEM-resident
     # (stages 0-2; stage 3's weights don't fit and stay XLA); training
     # backward recomputes. Isolated stage shapes measured 1.18-1.32x vs
-    # the XLA chain on v5e — default follows the full-step hardware A/B
-    # (benchmarks/RESULTS.md round 4).
+    # the XLA chain on v5e at blk 2048 — but those blocks overflow the
+    # Mosaic scoped-vmem stack inside the full step (17.61 MB/16 MB),
+    # and with VMEM-feasible blocks the full-step A/B is a WASH
+    # (215.3 vs 217.3 clips/s bs32; benchmarks/RESULTS.md round 4), so
+    # the default stays OFF.
     use_pallas_attn_eval: bool = True  # forward-only fused kernel for
     # EVAL/inference (no p/qkv residual writes). Hardware A/B: 13.21 vs
     # 13.96 ms/step dual-Swin-B eval bs16 (1211 vs 1146 clips/s, +5.7%

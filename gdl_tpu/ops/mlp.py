@@ -9,7 +9,19 @@ are contraction-shallow (K = C = 128..512) and measure 14-22 TFLOP/s on
 v5e regardless of emitter (6D dense vs flat 2D is a wash); one Pallas
 kernel that streams M-row blocks and keeps the whole fc1->gelu->fc2
 chain VMEM-resident measured 1.18-1.32x on the isolated stage shapes
-(benchmarks/RESULTS.md round 4).
+at blk 2048 (benchmarks/RESULTS.md round 4).
+
+DISPOSITION (round-4 hardware A/B): gated OFF by default. The winning
+blk-2048 configuration overflows the Mosaic scoped-vmem stack inside
+the full swin step (17.61 MB against the 16 MB limit — the stack runs
+~4.4x the naive f32 intermediate), and the swin stage M values' divisor
+structure (M = 2^k * 49) offers no block between the VMEM-feasible
+1024/512/224 and the overflowing 1792/784/392, so the recalibrated
+kernel is the only in-model option — and it measures a WASH/slight loss
+on the full dual-Swin-B joint step (215.3 vs 217.3 clips/s bs32,
+148.66 vs 147.26 ms). The isolated win does not survive smaller blocks
+plus XLA's own gelu-into-GEMM fusion in the baseline. Kernel + tests
+stay for re-measurement on parts with bigger VMEM.
 
 Backward (training) is the recompute pattern: the forward kernel saves
 NOTHING score-sized — the custom_vjp backward re-derives h and g from
@@ -94,19 +106,21 @@ def _largest_divisor_block(m: int, cap: int) -> int:
 
 
 def pick_m_block(m: int, c: int, h: int, itemsize: int) -> int:
-    """Choose the M-block, or 0 = unsupported. Conservative VMEM model
-    calibrated on v5e measurements (benchmarks/RESULTS.md round 4):
-    weights are grid-invariant (single VMEM copy) and must fit 10 MB
-    (C=1024 -> 33.6 MB with the f32 accumulators, measured scoped-vmem
-    failure); the streamed block budget caps the f32 intermediate at
-    4 MB (blk 2048 @ H=512 / 448 @ H=2048 both measured compiling with
-    headroom)."""
+    """Choose the M-block, or 0 = unsupported. VMEM model calibrated on
+    v5e hardware: the Mosaic scoped-vmem STACK runs ~4.4x the naive f32
+    intermediate (blk 2048 @ H=512 measured 17.61 MB of stack against
+    the 16 MB limit inside the full swin step — the gelu chain holds
+    several h-sized f32 temps), so the f32 intermediate is budgeted at
+    2.5 MB (stack ~11 MB, 5 MB margin; blk 392 @ H=2048 = 14.1 MB stack
+    compiled standalone but leaves no in-model headroom). Weights are
+    grid-invariant operands (not stack) and must fit 10 MB — rules out
+    Swin-B stage 3 (16.8 MB bf16)."""
     if c % 128 or h % 128:
         return 0
     weights = 2 * c * h * itemsize
     if weights > 10 * 1024 * 1024:
         return 0
-    cap = (4 * 1024 * 1024) // (4 * h)
+    cap = (640 * 1024) // h
     return _largest_divisor_block(m, min(cap, 4096))
 
 

@@ -93,14 +93,16 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
 
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
-    if "cpu" in platforms and getattr(cfg, "use_pallas_attn_eval", False):
+    if "cpu" in platforms and (getattr(cfg, "use_pallas_attn_eval", False)
+                               or getattr(cfg, "fuse_mlp", False)):
         # Mosaic custom calls only lower for tpu — a cpu-containing
-        # artifact must trace the XLA eval attention (identical math;
-        # the fused eval kernel is a TPU-only speed path, 13.21 vs
-        # 13.96 ms/step). tpu-only exports keep the kernel.
+        # artifact must trace the XLA eval attention and MLP chain
+        # (identical math; the fused kernels are TPU-only speed paths).
+        # tpu-only exports keep the kernels.
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, use_pallas_attn_eval=False)
+        cfg = dataclasses.replace(cfg, use_pallas_attn_eval=False,
+                                  fuse_mlp=False)
     if dgl:
         cls = (AVClassifierSwinDGL if cfg.backbone == "swin"
                else AVClassifierDGL)

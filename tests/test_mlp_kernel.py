@@ -32,9 +32,9 @@ def _dense_chain(x, w1, b1, w2, b2):
 
 def test_pick_m_block_swin_stages():
     """bs32 dual-joint resident-layout M values; bf16 (itemsize 2)."""
-    assert pick_m_block(100352, 128, 512, 2) == 2048   # stage 0
-    assert pick_m_block(25088, 256, 1024, 2) == 896    # stage 1
-    assert pick_m_block(6272, 512, 2048, 2) == 448     # stage 2
+    assert pick_m_block(100352, 128, 512, 2) == 1024   # stage 0
+    assert pick_m_block(25088, 256, 1024, 2) == 512    # stage 1
+    assert pick_m_block(6272, 512, 2048, 2) == 224     # stage 2
     # stage 3: 16.8 MB of weights — measured Mosaic scoped-vmem failure
     assert pick_m_block(1568, 1024, 4096, 2) == 0
     # lane-unaligned widths unsupported (tiny test models)
