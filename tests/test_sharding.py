@@ -184,6 +184,46 @@ def test_mmformer_sharded_step_equals_single_device(dp, mp):
 
 
 @pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_ogm_sharded_step_equals_single_device(dp, mp):
+    """The OGM-GE MODULATED joint step (main.py:286-332 lineage) under the
+    dp=8 and hybrid (4, 2) meshes: the modulation reads batch-GLOBAL
+    softmax score sums (ogm_coefficients — SPMD must psum them, not
+    compute per-shard ratios) and draws param-shaped GE noise from the
+    step-derived rbg key (replicated generation), so one modulated step
+    must yield identical params to the unsharded jit. The other sharded
+    tests all run modulation='Normal'; this covers the live-modulation
+    branch bench.py's ogm anchor times."""
+    from gdl_tpu.models.classifier import AVClassifier
+    from gdl_tpu.train.joint import make_joint_train_step
+
+    cfg = Config(dataset="CREMAD", fusion_method="concat", alpha=0.3,
+                 modulation="OGM_GE", modulation_starts=0,
+                 modulation_ends=50, dp=dp, mp=mp, batch_size=8,
+                 encoder_width=8, encoder_stages=[1, 1, 1, 1], fps=1,
+                 log_grad_csv=False)
+    model = AVClassifier(config=cfg)
+    opt = make_optimizer(cfg, 10, clip_norm=None)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), opt,
+                               frames=1, image_size=32)
+    batch = tiny_batch(b=8)
+    step = jax.jit(make_joint_train_step(model, cfg, opt, 10,
+                                         base_rng=jax.random.PRNGKey(1)))
+
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = make_mesh(cfg.dp, cfg.mp)
+    st_sh = jax.device_put(state, state_sharding(state, mesh))
+    b_sh = {k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()}
+    sh_state, sh_metrics = step(st_sh, b_sh)
+
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-5)
+    _tree_allclose(jax.device_get(ref_state.params),
+                   jax.device_get(sh_state.params))
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
 def test_swin_sharded_step_equals_single_device(dp, mp):
     """The swin joint path under the dp=8 mesh AND the hybrid (4, 2)
     dp x mp mesh (mlp_fc2 kernels row-parallel over 'model'), tiny swin
