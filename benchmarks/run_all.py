@@ -410,6 +410,11 @@ CONFIGS = {
     # train changes dropout correlation + BN stat count — RESULTS.md)
     "mmformer_bs64_shared": lambda it: bench_intermediate(
         "mmformer_n", 64, it, share_streams=True),
+    # batch + shared-streams combined (each won independently: bs128
+    # +3.9% unshared, shared +13% at bs64 — the family's two remaining
+    # levers stack or they don't; RESULTS.md)
+    "mmformer_bs128_shared": lambda it: bench_intermediate(
+        "mmformer_n", 128, max(it // 2, 5), share_streams=True),
     "resnet_eval_bs64": lambda it: bench_resnet_eval(64, it),
     "resnet_eval_bs256": lambda it: bench_resnet_eval(256, max(it // 2, 5)),
     # replays the serialized jax.export artifact — pairs with
