@@ -223,6 +223,66 @@ def _max_pool_bwd(res, g):
 max_pool_3x3_s2_scatterfree.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
+@jax.custom_vjp
+def max_pool_3x3_s2_padbwd(x: jnp.ndarray) -> jnp.ndarray:
+    """max_pool_3x3_s2 with a DILATION-pad backward: the nine per-offset
+    gradient placements are lax.pad ops with interior padding (zeros
+    interleaved to the stride-2 input grid) summed in one fusion —
+    no scatter HLO anywhere. Same first-max tie semantics as XLA's
+    select-and-scatter / torch (asserted in tests/test_ops.py). The
+    earlier scatter-free attempt placed the same contributions with nine
+    strided .at[].add updates, which lower to real scatters and LOSE 33%
+    end-to-end (max_pool_3x3_s2 docstring); pads are fusible loop ops."""
+    return nn.max_pool(
+        x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+    )
+
+
+def _max_pool_padbwd_bwd(res, g):
+    x = res
+    # same producer-duplication hazard as _max_pool_bwd: barrier x so the
+    # nine backward views read ONE materialized tensor (see that comment)
+    x = jax.lax.optimization_barrier(x)
+    b, h, w, c = x.shape
+    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).min, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    views = []
+    for di in range(3):
+        for dj in range(3):
+            views.append(jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + 2 * (ho - 1) + 1, dj + 2 * (wo - 1) + 1, c),
+                (1, 2, 2, 1)))
+    m = views[0]
+    for xv in views[1:]:
+        m = jnp.maximum(m, xv)
+    zero = jnp.zeros((), g.dtype)
+    count = jnp.zeros(m.shape, jnp.int32)
+    dxp = None
+    for (di, dj), xv in zip(((i, j) for i in range(3) for j in range(3)),
+                            views):
+        eq = xv == m
+        take = jnp.logical_and(eq, count == 0)
+        count = count + eq.astype(jnp.int32)
+        contrib = jnp.where(take, g, zero)  # [b, ho, wo, c]
+        # element a lands at index di + 2a of the padded [h+2] axis —
+        # exactly the gp[:, di:di+2*ho:2] placement, built as one
+        # interior-padded (dilated) pad instead of a strided scatter
+        term = jax.lax.pad(
+            contrib, zero,
+            ((0, 0, 0),
+             (di, h + 2 - (2 * ho - 1) - di, 1),
+             (dj, w + 2 - (2 * wo - 1) - dj, 1),
+             (0, 0, 0)))
+        dxp = term if dxp is None else dxp + term
+    return (dxp[:, 1:h + 1, 1:w + 1, :],)
+
+
+max_pool_3x3_s2_padbwd.defvjp(_max_pool_fwd, _max_pool_padbwd_bwd)
+
+
 def global_avg_pool(x: jnp.ndarray, axes) -> jnp.ndarray:
     """adaptive_avg_pool to 1 over the given spatial axes, then squeeze."""
     return jnp.mean(x, axis=axes)

@@ -113,18 +113,27 @@ def test_resize_matches_torch_bilinear():
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
-def test_max_pool_custom_bwd_matches_select_and_scatter():
-    """The custom maxpool backward (9 compare/scatter passes) against XLA's
-    select-and-scatter autodiff: identical placement on tie-heavy inputs,
-    eager AND under jit composed after an elementwise producer chain — the
-    jit case regressed once when XLA duplicated the producer into
-    differently-FMA'd fusions and the exact-equality match dropped
+@pytest.mark.parametrize("impl", ["scatterfree", "padbwd", "pallas"])
+def test_max_pool_custom_bwd_matches_select_and_scatter(impl):
+    """The custom maxpool backwards (9 compare passes placed either as
+    strided scatter-adds or as interior-padded dilation pads) against
+    XLA's select-and-scatter autodiff: identical placement on tie-heavy
+    inputs, eager AND under jit composed after an elementwise producer
+    chain — the jit case regressed once when XLA duplicated the producer
+    into differently-FMA'd fusions and the exact-equality match dropped
     gradients (fixed with an optimization_barrier + in-backward max)."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
 
-    from gdl_tpu.models.layers import max_pool_3x3_s2_scatterfree as max_pool_3x3_s2
+    from gdl_tpu.models import layers as _layers
+    from gdl_tpu.ops.maxpool import max_pool_3x3_s2_pallas
+
+    max_pool_3x3_s2 = {
+        "scatterfree": _layers.max_pool_3x3_s2_scatterfree,
+        "padbwd": _layers.max_pool_3x3_s2_padbwd,
+        "pallas": max_pool_3x3_s2_pallas,
+    }[impl]
 
     def ref_pool(x):
         return nn.max_pool(x, (3, 3), strides=(2, 2),
