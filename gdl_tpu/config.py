@@ -141,6 +141,9 @@ class Config:
     # (reference resnet18_se.py:228-248 ImageNet partial-load semantics)
     resume: Optional[str] = None  # resume training from a state checkpoint
     save_every: int = 0  # also save a resumable state every N epochs
+    preempt_save: int = 1  # catch SIGTERM, checkpoint at the next step
+    # boundary (epoch + step_in_epoch), exit cleanly; --resume then replays
+    # the remainder of the interrupted epoch exactly (utils/preempt.py)
     num_workers: int = 8  # host-side data pipeline threads
     encoder_width: int = 64  # ResNet stem width (64 = reference ResNet-18);
     # smaller values give cheap models for tests/CI
@@ -309,6 +312,7 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--pretrained_path", default=None, type=str)
     parser.add_argument("--resume", default=None, type=str)
     parser.add_argument("--save_every", default=d.save_every, type=int)
+    parser.add_argument("--preempt_save", default=d.preempt_save, type=int)
     parser.add_argument("--num_workers", default=d.num_workers, type=int)
     parser.add_argument("--profile_dir", default=None, type=str)
     parser.add_argument("--encoder_width", default=d.encoder_width, type=int)

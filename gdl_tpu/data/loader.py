@@ -44,6 +44,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._skip = 0
         if process_count > 1:
             if batch_size % process_count:
                 raise ValueError(
@@ -70,7 +71,10 @@ class Loader:
             random.Random(self.seed + self._epoch).shuffle(idx)
         nb = len(self)
         lo = self.process_index * self.local_batch
+        skip, self._skip = self._skip, 0
         for b in range(nb):
+            if b < skip:  # mid-epoch resume: re-enter the deterministic
+                continue  # stream past the already-trained batches
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if self.process_count > 1:
                 chunk = chunk[lo:lo + self.local_batch]
@@ -108,6 +112,13 @@ class Loader:
             batch["frame_sizes"] = np.stack([s[3] for s in samples])
         return batch
 
+    def skip_next_batches(self, n: int) -> None:
+        """The next __iter__ silently drops the first `n` batch index
+        groups (no decode cost) — used with set_epoch by mid-epoch resume
+        (utils/preempt.py) to continue an interrupted epoch's shuffle and
+        augmentation stream at the exact batch where training stopped."""
+        self._skip = int(n)
+
     def set_epoch(self, epoch: int) -> None:
         """Align the shuffle/augmentation epoch for RESUMED runs: the next
         __iter__ behaves as 0-indexed training epoch `epoch`. Without this
@@ -124,23 +135,38 @@ class Loader:
             self.dataset.set_epoch(self._epoch)
         q: "queue.Queue[Optional[dict]]" = queue.Queue(maxsize=self.prefetch)
         err = []
+        stop = threading.Event()  # consumer abandoned the epoch early
+        # (preemption mid-epoch, utils/preempt.py) — unblock the producer
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for indices in self._batch_indices():
-                        q.put(self._collate(pool, indices))
+                        if not _put(self._collate(pool, indices)):
+                            return
             except Exception as e:  # surface in consumer
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()

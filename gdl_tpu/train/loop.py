@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import jax
@@ -56,6 +56,9 @@ class Harness:
     eval_step: Callable
     batch_sh: object
     start_epoch: int = 0
+    # resume-state sidecar (e.g. step_in_epoch for mid-epoch preemption
+    # resume, utils/preempt.py); empty for fresh runs
+    resume_extra: dict = field(default_factory=dict)
 
 
 def build_harness(cfg: Config, model, steps_per_epoch: int,
@@ -99,8 +102,10 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
         eval_step = make_joint_eval_step(model, cfg, preprocess=eval_pre)
 
     start_epoch = 0
+    resume_extra = {}
     if cfg.resume:
-        state, start_epoch, _ = load_train_state(cfg.resume, state)
+        state, start_epoch, resume_extra = load_train_state(cfg.resume,
+                                                            state)
         print("Resumed from {} at epoch {}".format(cfg.resume, start_epoch))
 
     state_sh = state_sharding(state, mesh)
@@ -116,6 +121,7 @@ def build_harness(cfg: Config, model, steps_per_epoch: int,
         eval_step=jax.jit(eval_step, out_shardings=replicated),
         batch_sh=batch_sharding(mesh),
         start_epoch=start_epoch,
+        resume_extra=resume_extra,
     )
 
 
@@ -149,9 +155,12 @@ def _device_prefetch(iterator, sharding, depth: int = 2):
 
 def train_one_epoch(h: Harness, loader: Loader, epoch: int,
                     grad_csv: Optional[CSVLogger] = None,
-                    log_every: int = 100) -> dict:
+                    log_every: int = 100, guard=None) -> dict:
     """Returns the 7 epoch-mean scalars of the reference train_epoch
-    (main_dgl.py:164-165 / main.py:356-357)."""
+    (main_dgl.py:164-165 / main.py:356-357). `guard` is an optional
+    utils/preempt.PreemptionGuard checked once per step; when it fires,
+    the epoch stops at the step boundary and the returned means carry
+    preempted=True with `steps` counting only the completed steps."""
     cfg = h.cfg
     if epoch < 20:
         print(epoch, lr_for_epoch(cfg, epoch))
@@ -176,6 +185,7 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
         pending.clear()
 
     profile_dir = cfg.profile_dir if epoch == 0 else None
+    preempted = False
     for step, batch in enumerate(_device_prefetch(loader, h.batch_sh)):
         with step_trace(profile_dir, step):
             h.state, metrics = h.train_step(h.state, batch)
@@ -192,12 +202,16 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
                 print("unimodal", float(m["abs_out_a"]),
                       float(m["abs_out_v"]))
         count += 1
+        if guard is not None and guard.should_stop(count):
+            preempted = True
+            break
     drain()
     if grad_csv is not None:
         grad_csv.flush()
     means = {k: v / max(count, 1) for k, v in sums.items()}
     means["steps"] = count
     means["wall_time"] = time.time() - t0
+    means["preempted"] = preempted
     return means
 
 
@@ -252,7 +266,7 @@ def evaluate(h: Harness, loader: Loader) -> tuple:
 
 def run_training(cfg: Config, model, train_set, test_set,
                  dgl: bool = True, raw_batches: bool = True,
-                 epoch_callback=None) -> float:
+                 epoch_callback=None, preempt_guard=None) -> float:
     """Full --train flow (main_dgl.py:296-396). Returns best accuracy.
 
     Multi-host aware: each host decodes only its batch shard, and file
@@ -264,7 +278,14 @@ def run_training(cfg: Config, model, train_set, test_set,
     both this and the torch reference loop the identical tensors).
     epoch_callback(epoch=..., means=..., acc=..., lr=..., state=...) is
     invoked after each epoch's train+eval — an observation hook for
-    tests and external monitors."""
+    tests and external monitors.
+
+    Preemption (cfg.preempt_save, default on): SIGTERM stops training at
+    the next step boundary and writes `resume_state.msgpack` carrying the
+    epoch AND step-in-epoch; `--resume` then replays the remainder of the
+    interrupted epoch exactly (utils/preempt.py — bitwise equivalence
+    proven by tests/test_preempt.py). `preempt_guard` injects a
+    pre-configured guard (tests, external schedulers)."""
     pc, pi = jax.process_count(), jax.process_index()
     primary = pi == 0
     if pc > 1 and not cfg.eval_drop_last:
@@ -298,13 +319,42 @@ def run_training(cfg: Config, model, train_set, test_set,
         tb = TBLogger(cfg.tensorboard_path, cfg.dataset, cfg.fusion_method,
                       cfg.modulation)
 
+    guard = preempt_guard
+    owned_guard = False
+    if guard is None and cfg.preempt_save:
+        from gdl_tpu.utils.preempt import PreemptionGuard
+
+        guard = PreemptionGuard().install()
+        owned_guard = True
+    # mid-epoch resume: re-enter the interrupted epoch past the batches
+    # already trained (the saved global step already reflects them)
+    pending_skip = int(h.resume_extra.get("step_in_epoch", 0) or 0)
+    resume_path = os.path.join(cfg.ckpt_path, "resume_state.msgpack")
+
     best_acc = 0.0
     for epoch in range(h.start_epoch, cfg.epochs):
         print("Epoch: {}: ".format(epoch))
         # resumed runs must replay epoch `epoch`'s shuffle order and
         # augmentation draws, not restart the loader's counter at 0
         train_loader.set_epoch(epoch)
-        means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv)
+        skip, pending_skip = pending_skip, 0
+        if skip:
+            train_loader.skip_next_batches(skip)
+        means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv,
+                                guard=guard)
+        if means.get("preempted"):
+            steps_done = skip + int(means["steps"])
+            if steps_done >= steps_per_epoch:  # fired on the last step:
+                save_epoch, save_step = epoch + 1, 0  # epoch is complete
+            else:
+                save_epoch, save_step = epoch, steps_done
+            if primary:
+                save_train_state(resume_path, h.state, save_epoch,
+                                 extra={"step_in_epoch": save_step})
+            print("Preempted at epoch {} step {}; resume state saved to "
+                  "{} (--resume to continue)".format(epoch, steps_done,
+                                                     resume_path))
+            break
         acc, acc_a, acc_v = evaluate(h, test_loader)
         if epoch_callback is not None:
             epoch_callback(epoch=epoch, means=means,
@@ -343,9 +393,9 @@ def run_training(cfg: Config, model, train_set, test_set,
             print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
                                                                   acc_v))
         if primary and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
-            save_train_state(
-                os.path.join(cfg.ckpt_path, "resume_state.msgpack"),
-                h.state, epoch + 1)
+            save_train_state(resume_path, h.state, epoch + 1)
+    if owned_guard:
+        guard.uninstall()
     if grad_csv is not None:
         grad_csv.close()
     if acc_csv is not None:

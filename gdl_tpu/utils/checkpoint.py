@@ -104,14 +104,19 @@ def restore_params_into_state(state: TrainState, loaded: dict) -> TrainState:
 
 def save_train_state(path: str, state: TrainState, epoch: int,
                      extra: Optional[dict] = None) -> None:
+    """Atomic: written to a sibling tmp file then os.replace'd, so a crash
+    (or the tail of a preemption grace window, utils/preempt.py) mid-write
+    never corrupts an existing resume state."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "state": serialization.to_state_dict(_to_host(state)),
         "epoch": epoch,
         "extra": extra or {},
     }
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
 
 
 def load_train_state(path: str, state: TrainState) -> Tuple[TrainState, int,
