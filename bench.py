@@ -37,6 +37,9 @@ number; both anchors are reported in the JSON.
 """
 
 import json
+import os
+import re
+import sys
 import time
 
 REFERENCE_CLIPS_PER_SEC = 300.0  # estimated; see module docstring
@@ -52,6 +55,64 @@ BS256_DEADLINE_S = 900.0
 SWIN_DEADLINE_S = 1500.0
 MMFORMER_DEADLINE_S = 2100.0
 OGM_DEADLINE_S = 2700.0
+UNIMODAL_DEADLINE_S = 3000.0
+
+# anchor-drift guard (VERDICT r4 item 2): every throughput anchor on the
+# JSON line is compared against the newest BENCH_r*.json; a silent ±3%
+# drift prints a WARNING to stderr (the r04 BN parity fix regressed the
+# flagship 9.2% and nothing noticed for a whole round).
+DRIFT_ANCHORS = ("value", "bs256_clips_per_sec", "swin_clips_per_sec",
+                 "mmformer_clips_per_sec", "ogm_clips_per_sec",
+                 "unimodal_clips_per_sec")
+DRIFT_WARN_FRACTION = 0.03
+
+
+def find_prev_bench(bench_dir: str):
+    """Newest BENCH_r{N}.json record (highest N) in `bench_dir`, parsed,
+    or None. Unreadable/corrupt files are skipped, not fatal — the guard
+    must never sink the primary metric."""
+    best_n, best = -1, None
+    try:
+        names = os.listdir(bench_dir)
+    except OSError:
+        return None
+    for name in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(os.path.join(bench_dir, name)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            best_n, best = int(m.group(1)), rec
+    return best
+
+
+def apply_drift_guard(out: dict, prev: dict | None,
+                      warn=lambda msg: print(msg, file=sys.stderr)) -> dict:
+    """Annotate `out` with `vs_prev` ratios for every DRIFT_ANCHORS field
+    present in both records; call `warn` for any drift past ±3%.
+    Pure on its inputs (testable: tests/test_bench_schema.py)."""
+    if not prev:
+        return out
+    ratios = {}
+    for key in DRIFT_ANCHORS:
+        cur, old = out.get(key), prev.get(key)
+        if not (isinstance(cur, (int, float)) and
+                isinstance(old, (int, float)) and old > 0):
+            continue
+        ratio = cur / old
+        ratios[key] = round(ratio, 4)
+        if abs(ratio - 1.0) > DRIFT_WARN_FRACTION:
+            direction = "REGRESSED" if ratio < 1.0 else "improved"
+            warn(f"WARNING: anchor '{key}' {direction} "
+                 f"{(ratio - 1.0) * 100:+.1f}% vs previous round "
+                 f"({old} -> {cur})")
+    if ratios:
+        out["vs_prev"] = ratios
+    return out
 
 
 def make_result(clips_per_sec: float) -> dict:
@@ -105,9 +166,11 @@ def _chained_ms_per_step(raw_step, state, batch, iters: int):
     return best / iters
 
 
-def _measure_dgl(batch_size: int, iters: int):
+def _measure_dgl(batch_size: int, iters: int, modality: str = "full"):
     """Flagship DGL train step (preproc included) at `batch_size`; returns
-    (clips_per_sec, mfu_or_None)."""
+    (clips_per_sec, mfu_or_None). modality="audio" measures the unimodal
+    DGL lineage ((2α+1)·CE semantics, main_dgl.py:102-122 — VERDICT r4
+    item 7, the last un-benched driver family)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +181,7 @@ def _measure_dgl(batch_size: int, iters: int):
     from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
     from gdl_tpu.train.optim import make_optimizer
 
-    cfg = Config(dataset="CREMAD", fusion_method="concat", modality="full",
+    cfg = Config(dataset="CREMAD", fusion_method="concat", modality=modality,
                  fps=1, batch_size=batch_size, learning_rate=2e-3, alpha=5.0,
                  modulation="Normal", compute_dtype="bfloat16",
                  log_grad_csv=False)
@@ -311,6 +374,17 @@ def main(_retry: bool = True):
                 out["ogm_mfu"] = round(ogm_mfu, 4)
         except Exception:
             pass
+    if time.perf_counter() - t_start < UNIMODAL_DEADLINE_S:
+        try:
+            uni_clips, uni_mfu, _ = _measure_dgl(BATCH, 10,
+                                                 modality="audio")
+            out["unimodal_clips_per_sec"] = round(uni_clips, 2)
+            if uni_mfu:
+                out["unimodal_mfu"] = round(uni_mfu, 4)
+        except Exception:
+            pass
+    apply_drift_guard(out, find_prev_bench(os.path.dirname(
+        os.path.abspath(__file__))))
     print(json.dumps(out))
 
 

@@ -102,7 +102,9 @@ class GroupedBatchNorm(nn.Module):
             lambda: jnp.ones((features,), jnp.float32))
 
         if self.use_running_average:
-            y = (x.astype(jnp.float32) - ra_mean.value) * jax.lax.rsqrt(
+            # x stays in its storage dtype; subtracting the f32 mean
+            # promotes elementwise inside one fusion (no f32 copy of x).
+            y = (x - ra_mean.value) * jax.lax.rsqrt(
                 ra_var.value + self.epsilon)
         else:
             g = self.groups
@@ -111,10 +113,19 @@ class GroupedBatchNorm(nn.Module):
                 raise ValueError(
                     f"batch {b} not divisible into {g} BN groups (per-"
                     f"replica BN needs batch_size % dp == 0)")
-            xg = x.astype(jnp.float32).reshape((g, b // g) + x.shape[1:])
+            xg = x.reshape((g, b // g) + x.shape[1:])
             red = tuple(range(1, xg.ndim - 1))  # all but group & channel
-            mean_g = jnp.mean(xg, axis=red)  # [g, C]
-            var_g = jnp.var(xg, axis=red)    # biased (normalization)
+            # One-pass E[x^2]-E[x]^2 statistics with f32 accumulation (the
+            # flax _compute_stats pattern): both reductions fuse into a
+            # SINGLE read of x in its storage dtype. The earlier
+            # x.astype(f32) + two-pass jnp.var cost three passes over a
+            # materialized f32 copy and regressed the flagship step ~9%
+            # (BENCH_r04; VERDICT r4 item 1).
+            xf = xg.astype(jnp.float32)
+            mean_g = jnp.mean(xf, axis=red)            # [g, C]
+            mean2_g = jnp.mean(jnp.square(xf), axis=red)
+            var_g = jnp.maximum(                       # biased (normalize)
+                mean2_g - jnp.square(mean_g), 0.0)
             shape = (g,) + (1,) * (xg.ndim - 2) + (features,)
             y = (xg - mean_g.reshape(shape)) * jax.lax.rsqrt(
                 var_g.reshape(shape) + self.epsilon)

@@ -19,3 +19,43 @@ def test_bench_result_schema():
     assert parsed["torch_cpu_floor_clips_per_sec"] > 0
     assert parsed["vs_torch_cpu_floor"] > 100
     assert "\n" not in line
+
+
+def test_drift_guard_ratios_and_warnings():
+    """The anchor-drift guard (VERDICT r4 item 2): vs_prev ratios for
+    every shared anchor; a WARNING only past ±3%."""
+    import bench
+
+    prev = {"value": 2700.0, "bs256_clips_per_sec": 3800.0,
+            "swin_clips_per_sec": 217.0, "mmformer_clips_per_sec": 950.0}
+    out = {"value": 2454.5,               # -9.1% -> must warn (the r04 bug)
+           "bs256_clips_per_sec": 3810.0,  # +0.3% -> no warn
+           "swin_clips_per_sec": 224.0,    # +3.2% -> warn (improved)
+           "ogm_clips_per_sec": 2240.0}    # absent in prev -> no ratio
+    warnings = []
+    bench.apply_drift_guard(out, prev, warn=warnings.append)
+    r = out["vs_prev"]
+    assert abs(r["value"] - 2454.5 / 2700.0) < 1e-3
+    assert abs(r["bs256_clips_per_sec"] - 3810.0 / 3800.0) < 1e-3
+    assert "mmformer_clips_per_sec" not in r
+    assert "ogm_clips_per_sec" not in r
+    assert len(warnings) == 2
+    assert any("REGRESSED" in w and "'value'" in w for w in warnings)
+    assert any("improved" in w and "swin" in w for w in warnings)
+
+
+def test_drift_guard_no_prev_and_corrupt(tmp_path):
+    """No previous record (round 1) or unreadable files: no vs_prev, no
+    crash — the guard must never sink the primary metric."""
+    import bench
+
+    out = {"value": 2650.0}
+    bench.apply_drift_guard(out, None, warn=lambda m: None)
+    assert "vs_prev" not in out
+
+    assert bench.find_prev_bench(str(tmp_path)) is None
+    (tmp_path / "BENCH_r01.json").write_text("{not json")
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"value": 1.0}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"value": 7.0}))
+    rec = bench.find_prev_bench(str(tmp_path))
+    assert rec == {"value": 7.0}  # highest round wins; corrupt skipped
