@@ -144,6 +144,9 @@ class Config:
     preempt_save: int = 1  # catch SIGTERM, checkpoint at the next step
     # boundary (epoch + step_in_epoch), exit cleanly; --resume then replays
     # the remainder of the interrupted epoch exactly (utils/preempt.py)
+    preempt_sync_every: int = 32  # multi-host stop-agreement cadence in
+    # steps; each check is a blocking allgather (pipeline drain), so raise
+    # it for very fast steps. Epoch end always runs an agreement check.
     num_workers: int = 8  # host-side data pipeline threads
     encoder_width: int = 64  # ResNet stem width (64 = reference ResNet-18);
     # smaller values give cheap models for tests/CI
@@ -313,6 +316,8 @@ def add_arguments(parser: argparse.ArgumentParser, dgl: bool = True) -> None:
     parser.add_argument("--resume", default=None, type=str)
     parser.add_argument("--save_every", default=d.save_every, type=int)
     parser.add_argument("--preempt_save", default=d.preempt_save, type=int)
+    parser.add_argument("--preempt_sync_every",
+                        default=d.preempt_sync_every, type=int)
     parser.add_argument("--num_workers", default=d.num_workers, type=int)
     parser.add_argument("--profile_dir", default=None, type=str)
     parser.add_argument("--encoder_width", default=d.encoder_width, type=int)

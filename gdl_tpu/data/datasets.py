@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import csv
 import glob
+import math
 import os
 import random
 from typing import List, Optional, Sequence, Tuple
@@ -108,6 +109,66 @@ def _load_frames_with_sizes(paths: List[str]):
                                    np.uint8))
             sizes.append((RAW_IMAGE_SIZE, RAW_IMAGE_SIZE))
     return np.stack(frames), np.asarray(sizes, np.int32)
+
+
+def _host_rrc_params(rng: random.Random, h: int, w: int):
+    """torchvision RandomResizedCrop.get_params, sequential (the exact
+    10-attempt loop with per-attempt area/aspect draws and early exit —
+    torchvision/transforms/transforms.py; scale (0.08, 1), ratio
+    (3/4, 4/3)). Returns (y0, x0, ch, cw) ints. Distribution-identical to
+    the vectorized device draw (ops/image_ops.py sample_rrc_box); used by
+    the strict_compat host-exact visual path."""
+    area = float(h * w)
+    log_lo, log_hi = math.log(3.0 / 4.0), math.log(4.0 / 3.0)
+    for _ in range(10):
+        target_area = area * rng.uniform(0.08, 1.0)
+        aspect = math.exp(rng.uniform(log_lo, log_hi))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            return rng.randint(0, h - ch), rng.randint(0, w - cw), ch, cw
+    in_ratio = w / h  # fallback: ratio-clamped center crop
+    if in_ratio < 3.0 / 4.0:
+        cw, ch = w, int(round(w / (3.0 / 4.0)))
+    elif in_ratio > 4.0 / 3.0:
+        cw, ch = int(round(h * (4.0 / 3.0))), h
+    else:
+        cw, ch = w, h
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+
+def _load_frames_exact(paths: List[str], rng: random.Random, train: bool,
+                       size: int = 224) -> np.ndarray:
+    """strict_compat visual path: the torchvision transform runs ON HOST
+    at ORIGINAL resolution — crop drawn by _host_rrc_params, PIL
+    crop+resize (ONE bilinear resample, exactly the reference's
+    dataset/CramedDataset.py:76-101 pixels), p=0.5 horizontal flip; eval
+    is the reference's Resize((224,224)). Retires PARITY known-delta #2
+    (the default device path resamples original→256² canvas→224, one
+    extra bilinear pass). Draw order per frame: crop params then flip,
+    frames in selection order — matching the reference's per-frame
+    transform invocation. A corrupt frame yields a black slot and
+    consumes no draws (KSDataset.py:182-187 semantics)."""
+    from PIL import Image
+
+    frames = []
+    for p in paths:
+        try:
+            with Image.open(p) as img:
+                img = img.convert("RGB")
+                if train:
+                    y0, x0, ch, cw = _host_rrc_params(rng, img.height,
+                                                      img.width)
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
+                        (size, size), Image.BILINEAR)
+                    if rng.random() < 0.5:
+                        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                else:
+                    img = img.resize((size, size), Image.BILINEAR)
+                frames.append(np.asarray(img, np.uint8))
+        except Exception:
+            frames.append(np.zeros((size, size, 3), np.uint8))
+    return np.stack(frames)
 
 
 def _cached_sizes(ffile: str, rows: List[int]) -> np.ndarray:
@@ -258,6 +319,18 @@ class _AVListDataset:
         # mode) — reproduced under strict_compat; default eval uses start=0
         # for deterministic reported accuracy
         audio_rng = rng if (train or self.cfg.strict_compat) else None
+        if self.cfg.strict_compat:
+            # exact-pixel visual path (PARITY delta #2 retired): the
+            # torchvision transform runs on host at ORIGINAL resolution.
+            # Bypasses the offline cache — its canvas-decoded pixels
+            # cannot reproduce the single-resample reference output.
+            wave = _audio_fixed(self.audio[idx], self.dataset_name,
+                                audio_rng)
+            sel = _select_frames(listdir_nohidden(self.image[idx]),
+                                 self.n_frames, train, True, rng)
+            frames = _load_frames_exact(sel, rng, train)
+            sizes = np.full((len(sel), 2), frames.shape[1], np.int32)
+            return wave, frames, self.label[idx], sizes
         root = getattr(self.cfg, "preprocessed_path", "")
         if root:
             cached = self._getitem_preprocessed(idx, train, rng, audio_rng,

@@ -14,22 +14,35 @@ from __future__ import annotations
 import jax
 
 from gdl_tpu.config import Config
-from gdl_tpu.ops.image_ops import eval_preprocess, random_resized_crop_flip
+from gdl_tpu.ops.image_ops import (
+    eval_preprocess,
+    normalize_images,
+    random_resized_crop_flip,
+)
 from gdl_tpu.ops.stft import spectrogram_for_dataset
 
 
 def make_train_preprocess(cfg: Config, image_size: int = 224):
     swin = cfg.backbone == "swin"
     dataset = cfg.dataset
+    # strict_compat: frames arrive ALREADY cropped/flipped to 224² on host
+    # at original resolution (datasets._load_frames_exact — the reference's
+    # exact single-resample pixels); only ToTensor+Normalize runs on device
+    host_exact = bool(getattr(cfg, "strict_compat", 0))
 
     def preprocess(batch, rng: jax.Array):
         audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
-        # 'frame_sizes' [B,T,2] (per-frame original H,W) makes the crop
-        # geometry torchvision-exact in original coordinates; datasets
-        # ship it, synthetic batches may not (canvas-coordinate draws)
-        visual = random_resized_crop_flip(
-            batch["frames"], rng, size=image_size,
-            orig_sizes=batch.get("frame_sizes"))
+        # the shape check is static at trace time: synthetic/canvas batches
+        # (256²) still take the device transform under strict_compat
+        if host_exact and batch["frames"].shape[-2] == image_size:
+            visual = normalize_images(batch["frames"])
+        else:
+            # 'frame_sizes' [B,T,2] (per-frame original H,W) makes the crop
+            # geometry torchvision-exact in original coordinates; datasets
+            # ship it, synthetic batches may not (canvas-coordinate draws)
+            visual = random_resized_crop_flip(
+                batch["frames"], rng, size=image_size,
+                orig_sizes=batch.get("frame_sizes"))
         return {"audio": audio, "visual": visual, "label": batch["label"]}
 
     return preprocess
@@ -38,10 +51,14 @@ def make_train_preprocess(cfg: Config, image_size: int = 224):
 def make_eval_preprocess(cfg: Config, image_size: int = 224):
     swin = cfg.backbone == "swin"
     dataset = cfg.dataset
+    host_exact = bool(getattr(cfg, "strict_compat", 0))
 
     def preprocess(batch):
         audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
-        visual = eval_preprocess(batch["frames"], size=image_size)
+        if host_exact and batch["frames"].shape[-2] == image_size:
+            visual = normalize_images(batch["frames"])
+        else:
+            visual = eval_preprocess(batch["frames"], size=image_size)
         return {"audio": audio, "visual": visual, "label": batch["label"]}
 
     return preprocess

@@ -155,17 +155,23 @@ def _device_prefetch(iterator, sharding, depth: int = 2):
 
 def train_one_epoch(h: Harness, loader: Loader, epoch: int,
                     grad_csv: Optional[CSVLogger] = None,
-                    log_every: int = 100, guard=None) -> dict:
+                    log_every: int = 100, guard=None,
+                    init_sums: Optional[dict] = None,
+                    init_count: int = 0) -> dict:
     """Returns the 7 epoch-mean scalars of the reference train_epoch
     (main_dgl.py:164-165 / main.py:356-357). `guard` is an optional
     utils/preempt.PreemptionGuard checked once per step; when it fires,
     the epoch stops at the step boundary and the returned means carry
-    preempted=True with `steps` counting only the completed steps."""
+    preempted=True with `steps` counting only the completed steps (plus
+    `_sums`, the running per-metric sums, so the resumed run can finish
+    the epoch with UNBIASED full-epoch means). `init_sums`/`init_count`
+    re-seed those accumulators on a mid-epoch resume (ADVICE r4: without
+    them a resumed epoch's TB losses averaged only the tail steps)."""
     cfg = h.cfg
     if epoch < 20:
         print(epoch, lr_for_epoch(cfg, epoch))
     print("Start training ... ")
-    sums = {}
+    sums = dict(init_sums) if init_sums else {}
     count = 0
     pending = []  # step metrics, drained in chunks — keeps the hot loop
     # free of device→host syncs (the reference's per-step .item() probes
@@ -208,10 +214,13 @@ def train_one_epoch(h: Harness, loader: Loader, epoch: int,
     drain()
     if grad_csv is not None:
         grad_csv.flush()
-    means = {k: v / max(count, 1) for k, v in sums.items()}
-    means["steps"] = count
+    total = init_count + count
+    means = {k: v / max(total, 1) for k, v in sums.items()}
+    means["steps"] = count  # steps THIS run (resume bookkeeping)
     means["wall_time"] = time.time() - t0
     means["preempted"] = preempted
+    if preempted:  # carried into the resume state; never reaches TB
+        means["_sums"] = {k: float(v) for k, v in sums.items()}
     return means
 
 
@@ -324,13 +333,40 @@ def run_training(cfg: Config, model, train_set, test_set,
     if guard is None and cfg.preempt_save:
         from gdl_tpu.utils.preempt import PreemptionGuard
 
-        guard = PreemptionGuard().install()
+        guard = PreemptionGuard(
+            sync_every=getattr(cfg, "preempt_sync_every", 32)).install()
         owned_guard = True
     # mid-epoch resume: re-enter the interrupted epoch past the batches
     # already trained (the saved global step already reflects them)
     pending_skip = int(h.resume_extra.get("step_in_epoch", 0) or 0)
+    pending_sums = h.resume_extra.get("partial_sums") or None
     resume_path = os.path.join(cfg.ckpt_path, "resume_state.msgpack")
 
+    best_acc = 0.0
+    try:
+        best_acc = _epoch_loop(
+            h, cfg, train_loader, test_loader, steps_per_epoch, guard,
+            grad_csv, acc_csv, tb, primary, dgl, epoch_callback,
+            pending_skip, pending_sums, resume_path)
+    finally:
+        # a raise inside train/eval must not leak the SIGTERM handler
+        # (a later signal would set a dead guard's flag instead of
+        # terminating the process — ADVICE r4) nor leave CSVs unflushed
+        if owned_guard:
+            guard.uninstall()
+        if grad_csv is not None:
+            grad_csv.close()
+        if acc_csv is not None:
+            acc_csv.close()
+        if tb is not None:
+            tb.close()
+    return best_acc
+
+
+def _epoch_loop(h: Harness, cfg: Config, train_loader, test_loader,
+                steps_per_epoch: int, guard, grad_csv, acc_csv, tb,
+                primary: bool, dgl: bool, epoch_callback,
+                pending_skip: int, pending_sums, resume_path: str) -> float:
     best_acc = 0.0
     for epoch in range(h.start_epoch, cfg.epochs):
         print("Epoch: {}: ".format(epoch))
@@ -338,19 +374,31 @@ def run_training(cfg: Config, model, train_set, test_set,
         # augmentation draws, not restart the loader's counter at 0
         train_loader.set_epoch(epoch)
         skip, pending_skip = pending_skip, 0
+        init_sums, pending_sums = pending_sums, None
         if skip:
             train_loader.skip_next_batches(skip)
         means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv,
-                                guard=guard)
+                                guard=guard, init_sums=init_sums,
+                                init_count=skip)
+        # a flag raised inside the final partial sync_every window would
+        # otherwise defer the stop past a full eval + next epoch (ADVICE
+        # r4) — agree() is a local Event read single-process
+        if (not means.get("preempted") and guard is not None
+                and guard.agree()):
+            means["preempted"] = True
+            means.setdefault("_sums", {})
         if means.get("preempted"):
             steps_done = skip + int(means["steps"])
             if steps_done >= steps_per_epoch:  # fired on the last step:
                 save_epoch, save_step = epoch + 1, 0  # epoch is complete
             else:
                 save_epoch, save_step = epoch, steps_done
+            extra = {"step_in_epoch": save_step}
+            if save_step:  # carry partial metric sums for unbiased means
+                extra["partial_sums"] = means.get("_sums", {})
             if primary:
                 save_train_state(resume_path, h.state, save_epoch,
-                                 extra={"step_in_epoch": save_step})
+                                 extra=extra)
             print("Preempted at epoch {} step {}; resume state saved to "
                   "{} (--resume to continue)".format(epoch, steps_done,
                                                      resume_path))
@@ -394,14 +442,6 @@ def run_training(cfg: Config, model, train_set, test_set,
                                                                   acc_v))
         if primary and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
             save_train_state(resume_path, h.state, epoch + 1)
-    if owned_guard:
-        guard.uninstall()
-    if grad_csv is not None:
-        grad_csv.close()
-    if acc_csv is not None:
-        acc_csv.close()
-    if tb is not None:
-        tb.close()
     return best_acc
 
 

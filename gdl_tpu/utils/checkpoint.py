@@ -116,7 +116,20 @@ def save_train_state(path: str, state: TrainState, epoch: int,
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+        # durability before the rename: without fsync a HOST crash (not
+        # just a process crash) can publish a truncated tmp over the good
+        # resume state on some filesystems (ADVICE r4)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    try:  # persist the rename itself (directory entry)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # not supported on some platforms; the file fsync stands
 
 
 def load_train_state(path: str, state: TrainState) -> Tuple[TrainState, int,
