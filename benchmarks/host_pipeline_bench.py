@@ -201,6 +201,64 @@ def bench_warmup_write(cfg, dataset, workers, batch, epochs, pre_root):
     return warm_n / t_warm, total / t_steady
 
 
+def bench_offline_sweep(cfg, dataset, workers_list, batch, root):
+    """Offline-prep throughput sweep + time-to-first-trainable-epoch
+    synthesis (VERDICT r4 item 6). For each worker count, builds the
+    cache from scratch and times it; then measures the pure-live loader
+    rate, the cached loader rate, and the --preprocessed_write warm-up
+    rate, and prints the three time-to-first-epoch recipes."""
+    import shutil
+
+    from tools.preprocess_dataset import preprocess
+
+    from gdl_tpu.data.loader import Loader
+
+    n_clips = len(dataset)
+    print("| prep workers | cache build s | offline clips/s |")
+    print("|---|---|---|")
+    best_prep = None
+    for w in workers_list:
+        pre_root = os.path.join(root, f"sweep_cache_w{w}")
+        shutil.rmtree(pre_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        n = preprocess(cfg, pre_root, datasets=[dataset], workers=w)
+        dt = time.perf_counter() - t0
+        print(f"| {w} | {dt:.1f} | {n / dt:.1f} |")
+        if best_prep is None or dt < best_prep[1]:
+            best_prep = (w, dt, pre_root)
+
+    # pure live epochs (no cache configured)
+    dataset.cfg.preprocessed_path = None
+    dataset.cfg.preprocessed_write = False
+    live_cps, _ = bench_loader(cfg, dataset, max(workers_list), batch,
+                               epochs=2)
+    # cached epochs over the best prep run's cache
+    dataset.cfg.preprocessed_path = best_prep[2]
+    cached_cps, _ = bench_loader(cfg, dataset, max(workers_list), batch,
+                                 epochs=2)
+    dataset.cfg.preprocessed_path = None
+    # warmup-write first epoch (fresh cache dir, same dataset)
+    warm_root = os.path.join(root, "sweep_warm_cache")
+    shutil.rmtree(warm_root, ignore_errors=True)
+    warm_cps, steady_cps = bench_warmup_write(
+        cfg, dataset, max(workers_list), batch, 1, warm_root)
+
+    print(f"# loader rates (clips/s): live {live_cps:.1f}, "
+          f"cached {cached_cps:.1f}, warmup-write first epoch "
+          f"{warm_cps:.1f} (steady {steady_cps:.1f})")
+    print("| recipe | time to FIRST trainable epoch "
+          f"({n_clips} clips) | epochs 2+ |")
+    print("|---|---|---|")
+    print(f"| pure live | {n_clips / live_cps:.1f} s "
+          f"| {n_clips / live_cps:.1f} s |")
+    print(f"| offline prep (w={best_prep[0]}) + cached epoch "
+          f"| {best_prep[1] + n_clips / cached_cps:.1f} s "
+          f"(prep {best_prep[1]:.1f} + epoch "
+          f"{n_clips / cached_cps:.1f}) | {n_clips / cached_cps:.1f} s |")
+    print(f"| --preprocessed_write warm-up | {n_clips / warm_cps:.1f} s "
+          f"| {n_clips / steady_cps:.1f} s |")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="CREMAD", choices=["CREMAD", "KS"])
@@ -219,6 +277,10 @@ def main():
                     help="measure the --preprocessed_write first epoch "
                          "(live decode + cache populate) vs the cached "
                          "steady-state epochs that follow, same process")
+    ap.add_argument("--offline-sweep", action="store_true",
+                    help="offline-prep worker sweep + time-to-first-"
+                         "trainable-epoch table (offline vs "
+                         "--preprocessed_write vs pure live)")
     args = ap.parse_args()
 
     if args.native_jpeg:
@@ -240,6 +302,10 @@ def main():
         print(f"# {args.dataset}: {len(dataset)} clips on disk, "
               f"{ncores} host core(s), native_jpeg="
               f"{bool(os.environ.get('GDL_NATIVE_JPEG'))}")
+        if args.offline_sweep:
+            bench_offline_sweep(cfg, dataset, args.workers, args.batch,
+                                root)
+            return
         print("| workers | host clips/s | clips/s/core |")
         print("|---|---|---|")
         best = 0.0

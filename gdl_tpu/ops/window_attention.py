@@ -792,6 +792,101 @@ def _wa_qkv_t_bwd_p_kernel(qkv_ref, p_ref, dout_ref, dqkv_ref, dbias_ref,
     dbias_ref[0] += jnp.sum(ds_t, axis=0).astype(dbias_ref.dtype)
 
 
+def _wa_qkv_t_bwd_pd_kernel(qkv_ref, p_ref, dout_ref, delta_ref,
+                            dqkv_ref, dbias_ref, *, g, d, scale):
+    """Delta-trick variant of _wa_qkv_t_bwd_p_kernel (the flash-attention
+    backward identity): the softmax-jacobian row sums Σ_k dp·p equal
+    dout·out per query row, so the kernel takes them PRECOMPUTED (an
+    out-sized XLA reduction outside) instead of materializing the
+    score-sized dp*p product + reduction in VMEM. One fewer score-sized
+    f32 temporary per window block — the round-3 G=32 transposed backward
+    OOMed scoped vmem by only 900 KB (16.88M/16M at stage 3), so this is
+    the structural lever that can lift the backward block back to the
+    forward's G (VERDICT r4 item 5).
+
+    delta block: [G, 1, g*Np_q] f32 (broadcasts over the key sublanes)."""
+    i = pl.program_id(1)
+    qs = qkv_ref[:, :, 0, :] * jnp.asarray(scale, qkv_ref.dtype)
+    k = qkv_ref[:, :, 1, :]
+    v = qkv_ref[:, :, 2, :]
+    p_t = p_ref[0].astype(jnp.float32)  # [G, Np_k, g*Np_q]
+    dout = dout_ref[...]  # [G, Np, gd]
+    delta = delta_ref[0]  # [G, 1, g*Np_q] f32
+    G, np_, gd = qs.shape
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 1) // d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g, gd), 0)
+    bm = (col_head == row_head).astype(qs.dtype)
+
+    dout_bd = (dout[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dv = jax.lax.dot_general(
+        p_t.astype(dout.dtype), dout_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+    dp_t = jax.lax.dot_general(
+        v, dout_bd, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, g*Np_q]
+    ds_t = p_t * (dp_t - delta)
+
+    dq_full = jax.lax.dot_general(
+        ds_t.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, g*Np_q, gd]
+    dq = jnp.sum(dq_full.reshape(G, g, np_, gd)
+                 * bm[None, :, None, :].astype(jnp.float32),
+                 axis=1) * scale
+    q_bd = (qs[:, None, :, :] * bm[None, :, None, :]).reshape(
+        G, g * np_, gd)
+    dk = jax.lax.dot_general(
+        ds_t.astype(q_bd.dtype), q_bd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [G, Np_k, gd]
+
+    dqkv_ref[:, :, 0, :] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 1, :] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, 2, :] = dv.astype(dqkv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    dbias_ref[0] += jnp.sum(ds_t, axis=0).astype(dbias_ref.dtype)
+
+
+def _pack_delta_t(out, dout, g, d, hg):
+    """The flash-backward row sums Σ_k dp·p = dout·out per (head, query),
+    packed into the transposed kernels' lane order (h·Np + i):
+    [HG, B, 1, g·Np] f32. An out-sized elementwise multiply + segment
+    reduce + small transpose in XLA — cheap vs the score-sized VMEM
+    temporary it replaces."""
+    b, n_pad, _ = out.shape
+    do = out.astype(jnp.float32) * dout.astype(jnp.float32)
+    delta = do.reshape(b, n_pad, hg, g, d).sum(-1)  # [B, Np, HG, g]
+    delta = delta.transpose(2, 0, 3, 1)  # [HG, B, g, Np]
+    return delta.reshape(hg, b, 1, g * n_pad)
+
+
+# Delta-trick backward gate (VERDICT r4 item 5 — the flash-style
+# structural attempt): True routes the transposed save-p backward
+# through _wa_qkv_t_bwd_pd_kernel with the window block raised to
+# BWD_DELTA_G (the dp*p temp it removes is what was hypothesized to OOM
+# G=32). MEASURED NEGATIVE on hardware (benchmarks/RESULTS.md round 5,
+# dual Swin-B joint bs32, chained-loop device timing):
+#   delta off (shipping)      147.86 ms/step  216.4 clips/s
+#   delta on, G=16            150.96 ms/step  212.0 clips/s  (-2.0%)
+#   delta on, G=32            compile OOM: scoped vmem 20.38M/16M
+# The G=32 deficit is 4.38M — far beyond the one score-sized temp the
+# trick removes (Mosaic had evidently already fused the dp*p multiply
+# into its reduction), and the kernel's VMEM footprint is
+# stage-independent (every block is [*, 56, *, 128]-shaped at head dim
+# 32), so no stage admits the doubled block. At G=16 the extra delta
+# input block + the XLA-side out-sized reduction + the extended out
+# liveness cost ~3 ms/step net. Default OFF; kernel + tests kept as the
+# recorded disposition.
+BWD_DELTA = False
+BWD_DELTA_G = 16
+
+
 def _qkv_t_specs(G, n_pad, g, gd, nw):
     """Transposed-score analogs of _qkv_specs (same qkv/out blocks)."""
     base = _qkv_specs(G, n_pad, g, gd, nw)
@@ -836,15 +931,42 @@ def _qkv_attn_savep_t_fwd(static, qkvp, bias_t, mask_t):
         ],
         interpret=jax.default_backend() != "tpu",
     )(qkvp, bias_t, mask_t)
-    return out, (qkvp, p, bias_t, mask_t)
+    return out, (qkvp, p, out, bias_t, mask_t)
 
 
 def _qkv_attn_savep_t_bwd(static, res, dout):
     g, d, has_mask, scale, G, nw = static
-    qkvp, p, bias_t, mask_t = res
+    qkvp, p, out, bias_t, mask_t = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
+    if BWD_DELTA:
+        # delta-trick backward: the removed dp*p score temp is what made
+        # the full-G block OOM (900 KB over at stage 3) — raise the block
+        delta = _pack_delta_t(out, dout, g, d, hg)
+        G = math.gcd(G, BWD_DELTA_G)
+        specs = _qkv_t_specs(G, n_pad, g, gd, nw)
+        delta_spec = pl.BlockSpec((1, G, 1, g * n_pad),
+                                  lambda hi, i: (hi, i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        dqkvp, dbias_t = pl.pallas_call(
+            functools.partial(_wa_qkv_t_bwd_pd_kernel, g=g, d=d,
+                              scale=scale),
+            grid=(hg, b // G),
+            in_specs=[specs["qkv"], specs["p"], specs["out"], delta_spec],
+            out_specs=[
+                specs["qkv"],
+                pl.BlockSpec((1, n_pad, g * n_pad),
+                             lambda hi, i: (hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+                jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(qkvp, p, dout, delta)
+        return dqkvp, dbias_t.astype(bias_t.dtype), jnp.zeros_like(mask_t)
     # halved backward block: even with the transposed scores' 2x smaller
     # VMEM footprint, the full G=32 backward OOMs scoped vmem by 900 KB at
     # stage 3 (16.88M/16M measured) — the bwd holds p/dp/ds plus q_bd and
@@ -1120,7 +1242,7 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
         ],
         interpret=jax.default_backend() != "tpu",
     )(xp, w3, bv, bias_t, mask_t)
-    return out, (xp, w3, qkvp, p, bias_t, mask_t)
+    return out, (xp, w3, qkvp, p, out, bias_t, mask_t)
 
 
 # Phase-2 gate: run the projection backward INSIDE the backward kernel
@@ -1165,7 +1287,7 @@ def _fused_bwd_wins(b, n_pad, c, Gb_fused):
 
 def _xw_attn_savep_t_bwd(static, res, dout):
     g, d, has_mask, scale, G, nw = static
-    xp, w3, qkvp, p, bias_t, mask_t = res
+    xp, w3, qkvp, p, out_res, bias_t, mask_t = res
     b, n_pad, _, c3 = qkvp.shape
     c = xp.shape[-1]
     gd = g * d
@@ -1187,25 +1309,52 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         # projection backward as plain GEMMs (same math and rounding as
         # the replaced flax Dense's autodiff: bf16 dots, f32 accumulate,
         # round to the operand dtype)
-        specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
-        dqkvp, dbias_t = pl.pallas_call(
-            functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d,
-                              scale=scale),
-            grid=(hg, b // Gb),
-            in_specs=[specs["qkv"], specs["p"], specs["out"]],
-            out_specs=[
-                specs["qkv"],
-                pl.BlockSpec((1, n_pad, g * n_pad),
-                             lambda hi, i: (hi, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-                jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
-                                     jnp.float32),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(qkvp, p, dout)
+        if BWD_DELTA:
+            Gb = math.gcd(G, BWD_DELTA_G)
+            delta = _pack_delta_t(out_res, dout, g, d, hg)
+            specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
+            delta_spec = pl.BlockSpec((1, Gb, 1, g * n_pad),
+                                      lambda hi, i: (hi, i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+            dqkvp, dbias_t = pl.pallas_call(
+                functools.partial(_wa_qkv_t_bwd_pd_kernel, g=g, d=d,
+                                  scale=scale),
+                grid=(hg, b // Gb),
+                in_specs=[specs["qkv"], specs["p"], specs["out"],
+                          delta_spec],
+                out_specs=[
+                    specs["qkv"],
+                    pl.BlockSpec((1, n_pad, g * n_pad),
+                                 lambda hi, i: (hi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+                    jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
+                                         jnp.float32),
+                ],
+                interpret=jax.default_backend() != "tpu",
+            )(qkvp, p, dout, delta)
+        else:
+            specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
+            dqkvp, dbias_t = pl.pallas_call(
+                functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d,
+                                  scale=scale),
+                grid=(hg, b // Gb),
+                in_specs=[specs["qkv"], specs["p"], specs["out"]],
+                out_specs=[
+                    specs["qkv"],
+                    pl.BlockSpec((1, n_pad, g * n_pad),
+                                 lambda hi, i: (hi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+                    jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
+                                         jnp.float32),
+                ],
+                interpret=jax.default_backend() != "tpu",
+            )(qkvp, p, dout)
         dq2 = dqkvp.reshape(b * n_pad, 3 * c3)
         w2 = w3.reshape(c, 3 * c3)
         dx = jax.lax.dot_general(

@@ -3,6 +3,8 @@ XLA-vs-Pallas window-attention equality."""
 
 import functools
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,10 +38,8 @@ def test_window_partition_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-import pytest as _pytest
 
-
-@_pytest.mark.parametrize("quadrant", [False, True])
+@pytest.mark.parametrize("quadrant", [False, True])
 def test_window_shift_matches_roll_plus_partition(quadrant, monkeypatch):
     """window_shift (the window-resident cyclic shift) against the
     reference construction: spatial roll then partition
@@ -218,9 +218,18 @@ def test_packed_attention_variants_match_xla():
                 err_msg=f"qkv-direct h={h} save_p={save_p} t={transposed}")
 
 
-def test_qkv_attention_savep_gradients_match_xla():
+@pytest.mark.parametrize("bwd_delta", [False, True],
+                         ids=["inkernel_dsum", "delta_trick"])
+def test_qkv_attention_savep_gradients_match_xla(bwd_delta, monkeypatch):
     """The residual-p backward kernel (softmax saved in the forward, no
-    recompute) against XLA autodiff of the same function — dqkv and dbias."""
+    recompute) against XLA autodiff of the same function — dqkv and dbias.
+    Parametrized over the delta-trick backward (Σ_k dp·p precomputed as
+    dout·out outside the kernel — the flash-attention identity) and the
+    legacy in-kernel score-sized reduction."""
+    import gdl_tpu.ops.window_attention as wa_mod
+
+    monkeypatch.setattr(wa_mod, "BWD_DELTA", bwd_delta)
+    jax.clear_caches()
     rng = np.random.default_rng(5)
     n = 49
     for h, b, use_mask in ((4, 8, True), (8, 8, False)):
@@ -313,13 +322,14 @@ def test_qkv_attention_prepadded_entry_matches_unpadded():
                 err_msg=f"dbias h={h} {save_p} {transposed}")
 
 
-import pytest
 
-
-@pytest.mark.parametrize("fused_bwd", [False, True, "auto"],
-                         ids=["phase1_split_bwd", "phase2_fused_bwd",
-                              "auto_bwd"])
-def test_fused_qkv_entry_matches_xla_composition(fused_bwd, monkeypatch):
+@pytest.mark.parametrize(
+    "fused_bwd,bwd_delta",
+    [(False, True), (False, False), (True, True), ("auto", True)],
+    ids=["phase1_split_delta", "phase1_split_dsum", "phase2_fused_bwd",
+         "auto_bwd"])
+def test_fused_qkv_entry_matches_xla_composition(fused_bwd, bwd_delta,
+                                                 monkeypatch):
     """window_attention_pallas_qkv_fused (qkv projection GEMM inside the
     forward kernel) against the XLA composition Dense -> attention:
     forward and every gradient (dx, dW, db, dbias) at fp32 tolerance,
@@ -334,6 +344,7 @@ def test_fused_qkv_entry_matches_xla_composition(fused_bwd, monkeypatch):
     )
 
     monkeypatch.setattr(wa_mod, "FUSED_PROJECTION_BACKWARD", fused_bwd)
+    monkeypatch.setattr(wa_mod, "BWD_DELTA", bwd_delta)
     # the entry is @jax.jit-cached and the gate is read at TRACE time —
     # without this the second parametrization would reuse the first's
     # compiled backward and never exercise its own gate value
