@@ -211,8 +211,6 @@ def bench_offline_sweep(cfg, dataset, workers_list, batch, root):
 
     from tools.preprocess_dataset import preprocess
 
-    from gdl_tpu.data.loader import Loader
-
     n_clips = len(dataset)
     print("| prep workers | cache build s | offline clips/s |")
     print("|---|---|---|")

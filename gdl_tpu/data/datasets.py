@@ -330,7 +330,13 @@ class _AVListDataset:
                                  self.n_frames, train, True, rng)
             frames = _load_frames_exact(sel, rng, train)
             sizes = np.full((len(sel), 2), frames.shape[1], np.int32)
-            return wave, frames, self.label[idx], sizes
+            # dict sample, not the usual tuple: the 'host_exact' key is an
+            # EXPLICIT marker the device preprocess dispatches on (key
+            # presence is static under jit) — a shape coincidence (any
+            # 224² batch) must not silently skip augmentation
+            return {"wave": wave, "frames": frames,
+                    "label": self.label[idx], "frame_sizes": sizes,
+                    "host_exact": np.uint8(1)}
         root = getattr(self.cfg, "preprocessed_path", "")
         if root:
             cached = self._getitem_preprocessed(idx, train, rng, audio_rng,
@@ -472,6 +478,12 @@ class _AVListDataset:
         clip uncached) — the caller then uses the per-sample path."""
         root = getattr(self.cfg, "preprocessed_path", "")
         if not root:
+            return None
+        if getattr(self.cfg, "strict_compat", 0):
+            # strict_compat promises the reference's ORIGINAL-resolution
+            # single-resample pixels; the cache stores 256² canvas frames,
+            # so the batched fast path must defer to the per-sample
+            # host-exact path (which bypasses the cache entirely)
             return None
         from gdl_tpu.data import native
 

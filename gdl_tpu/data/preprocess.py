@@ -32,9 +32,14 @@ def make_train_preprocess(cfg: Config, image_size: int = 224):
 
     def preprocess(batch, rng: jax.Array):
         audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
-        # the shape check is static at trace time: synthetic/canvas batches
-        # (256²) still take the device transform under strict_compat
-        if host_exact and batch["frames"].shape[-2] == image_size:
+        # 'host_exact' is an explicit marker set by the datasets' strict
+        # path (dict-key presence — static at trace time): only batches
+        # that REALLY carry host-transformed pixels skip the device
+        # augmentation. Synthetic/canvas batches (any size) still take
+        # the device transform under strict_compat.
+        if host_exact and "host_exact" in batch:
+            assert batch["frames"].shape[-2] == image_size, \
+                "host_exact batch is not image_size²"
             visual = normalize_images(batch["frames"])
         else:
             # 'frame_sizes' [B,T,2] (per-frame original H,W) makes the crop
@@ -55,7 +60,9 @@ def make_eval_preprocess(cfg: Config, image_size: int = 224):
 
     def preprocess(batch):
         audio = spectrogram_for_dataset(batch["wave"], dataset, swin=swin)
-        if host_exact and batch["frames"].shape[-2] == image_size:
+        if host_exact and "host_exact" in batch:
+            assert batch["frames"].shape[-2] == image_size, \
+                "host_exact batch is not image_size²"
             visual = normalize_images(batch["frames"])
         else:
             visual = eval_preprocess(batch["frames"], size=image_size)

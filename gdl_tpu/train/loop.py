@@ -377,9 +377,12 @@ def _epoch_loop(h: Harness, cfg: Config, train_loader, test_loader,
         init_sums, pending_sums = pending_sums, None
         if skip:
             train_loader.skip_next_batches(skip)
+        # init_count only when the partial sums were actually restored: a
+        # resume state without them (older writer, empty dict) must fall
+        # back to the tail average, not divide tail sums by the full count
         means = train_one_epoch(h, train_loader, epoch, grad_csv=grad_csv,
                                 guard=guard, init_sums=init_sums,
-                                init_count=skip)
+                                init_count=skip if init_sums else 0)
         # a flag raised inside the final partial sync_every window would
         # otherwise defer the stop past a full eval + next epoch (ADVICE
         # r4) — agree() is a local Event read single-process

@@ -85,3 +85,37 @@ def test_main_dgl_cli_with_preprocessed_cache(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     assert "Start training" in out.stdout
     assert (tmp_path / "ckpt" / "CREMAD_full.csv").exists()
+
+
+@pytest.mark.slow
+def test_main_dgl_cli_strict_compat(tmp_path):
+    """--strict_compat end-to-end through the real driver: the host-exact
+    visual path (dict samples with the host_exact marker) must flow
+    through Loader collation and the device preprocess, and a configured
+    --preprocessed_path must be BYPASSED (the canvas cache cannot
+    reproduce host-exact pixels) rather than silently served."""
+    names = [(f"clip{i}", lbl) for i, lbl in enumerate(
+        ["NEU", "HAP", "SAD", "FEA", "DIS", "ANG"] * 2)]
+    audio, visual, data_root = make_cremad_tree(tmp_path, names)
+    os.makedirs(tmp_path / "dataset", exist_ok=True)
+    os.symlink(data_root.rstrip("/"), tmp_path / "dataset" / "data")
+
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""),
+               GDL_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    cmd = [sys.executable, os.path.join("/root/repo", "main_dgl.py"),
+           "--train", "--ckpt_path", str(tmp_path / "ckpt"),
+           "--dataset", "CREMAD", "--modulation", "Normal",
+           "--fusion_method", "concat", "--alpha", "4",
+           "--audio_path", audio, "--visual_path", visual,
+           "--strict_compat",
+           "--preprocessed_path", str(tmp_path / "nonexistent_cache"),
+           "--batch_size", "8", "--epochs", "1", "--num_workers", "2",
+           "--encoder_width", "8", "--encoder_stages", "1,1,1,1",
+           "--learning_rate", "0.002"]
+    out = subprocess.run(cmd, cwd=tmp_path, env=env, capture_output=True,
+                         text=True, timeout=540)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Start training" in out.stdout
+    assert (tmp_path / "ckpt" / "CREMAD_full.csv").exists()

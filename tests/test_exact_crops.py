@@ -146,7 +146,12 @@ def test_cremad_strict_dataset_and_preprocess(tmp_path):
     cfg = Config(dataset="CREMAD", audio_path=audio, visual_path=visual,
                  fps=1, strict_compat=1, random_seed=0)
     ds = CremadDataset(cfg, mode="train", data_root=data_root)
-    wave, frames, label, sizes = ds[0]
+    sample = ds[0]
+    # dict sample with the explicit host_exact marker (the device
+    # preprocess must dispatch on it, not on a 224² shape coincidence)
+    assert isinstance(sample, dict) and sample["host_exact"]
+    wave, frames = sample["wave"], sample["frames"]
+    label, sizes = sample["label"], sample["frame_sizes"]
     assert frames.shape == (1, 224, 224, 3) and frames.dtype == np.uint8
     assert (sizes == 224).all()
 
@@ -160,9 +165,75 @@ def test_cremad_strict_dataset_and_preprocess(tmp_path):
     batch = {"wave": jnp.asarray(wave)[None],
              "frames": jnp.asarray(frames)[None],
              "label": jnp.asarray([label]),
-             "frame_sizes": jnp.asarray(sizes)[None]}
+             "frame_sizes": jnp.asarray(sizes)[None],
+             "host_exact": jnp.asarray([1], jnp.uint8)}
     out = pre(batch, jax.random.PRNGKey(0))
     want = (frames.astype(np.float32) / 255.0 - IMAGENET_MEAN) \
         / IMAGENET_STD
     np.testing.assert_allclose(np.asarray(out["visual"][0]), want,
                                atol=1e-6)
+
+
+def test_collate_cached_defers_to_strict_path(tmp_path):
+    """--strict_compat + --preprocessed_path: the Loader's batched cached
+    fast path must return None (the cache stores 256² canvas pixels — it
+    cannot reproduce the host-exact single-resample output), so batches
+    fall through to the per-sample host-exact path. Regression test for
+    the round-5 gate (collate_cached bypassed strict_compat)."""
+    from tests.test_datasets import make_cremad_tree
+
+    names = [("clipA", "NEU"), ("clipB", "HAP")]
+    audio, visual, data_root = make_cremad_tree(tmp_path, names)
+    cfg = Config(dataset="CREMAD", audio_path=audio, visual_path=visual,
+                 fps=1, strict_compat=1, random_seed=0,
+                 preprocessed_path=str(tmp_path / "cache"))
+    ds = CremadDataset(cfg, mode="train", data_root=data_root)
+    assert ds.collate_cached([0, 1]) is None
+    # and the per-sample path serves host-exact dict samples
+    assert isinstance(ds[0], dict) and ds[0]["host_exact"]
+
+
+def test_loader_batches_carry_host_exact_marker(tmp_path):
+    """Dict samples from the strict path survive Loader collation: the
+    batch carries 'host_exact' and 224² frames end-to-end."""
+    from tests.test_datasets import make_cremad_tree
+
+    from gdl_tpu.data.loader import Loader
+
+    names = [("clipA", "NEU"), ("clipB", "HAP")]
+    audio, visual, data_root = make_cremad_tree(tmp_path, names)
+    cfg = Config(dataset="CREMAD", audio_path=audio, visual_path=visual,
+                 fps=1, strict_compat=1, random_seed=0)
+    ds = CremadDataset(cfg, mode="train", data_root=data_root)
+    loader = Loader(ds, 2, shuffle=False, drop_last=True, num_workers=1,
+                    seed=0)
+    batch = next(iter(loader))
+    assert "host_exact" in batch
+    assert batch["frames"].shape[-3:-1] == (224, 224)
+    assert batch["frame_sizes"].shape[-1] == 2
+
+
+def test_unmarked_224_batch_still_augments_under_strict(tmp_path):
+    """A 224² train batch WITHOUT the host_exact marker (e.g. synthetic
+    data) must still take the device RandomResizedCrop under
+    strict_compat — the dispatch keys on the explicit marker, never on a
+    shape coincidence (silently skipping augmentation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdl_tpu.data.preprocess import make_train_preprocess
+    from gdl_tpu.ops.image_ops import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = Config(dataset="CREMAD", fps=1, strict_compat=1, random_seed=0)
+    pre = make_train_preprocess(cfg)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (1, 1, 224, 224, 3)).astype(np.uint8)
+    batch = {"wave": jnp.zeros((1, 48000), jnp.float32),
+             "frames": jnp.asarray(frames),
+             "label": jnp.asarray([0])}
+    out = pre(batch, jax.random.PRNGKey(0))
+    assert out["visual"].shape[-3:-1] == (224, 224)
+    passthrough = (frames[0].astype(np.float32) / 255.0
+                   - IMAGENET_MEAN) / IMAGENET_STD
+    assert not np.allclose(np.asarray(out["visual"][0]), passthrough,
+                           atol=1e-3), "augmentation was silently skipped"

@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -167,7 +169,7 @@ def test_two_process_full_epoch_matches_single_process(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     script = tmp_path / "epoch_worker.py"
-    script.write_text(EPOCH_WORKER.replace("@REPO@", "/root/repo")
+    script.write_text(EPOCH_WORKER.replace("@REPO@", REPO_ROOT)
                       .replace("@ADDR@", f"localhost:{port}"))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -207,7 +209,7 @@ def test_two_process_global_mesh_dgl_loss(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     script = tmp_path / "worker.py"
-    script.write_text(WORKER.replace("@REPO@", "/root/repo")
+    script.write_text(WORKER.replace("@REPO@", REPO_ROOT)
                       .replace("@ADDR@", f"localhost:{port}"))
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

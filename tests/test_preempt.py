@@ -131,6 +131,59 @@ def test_midepoch_preempt_resume_bitwise(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_resumed_epoch_means_are_full_epoch(tmp_path, monkeypatch):
+    """The resumed epoch's reported means must average the WHOLE epoch,
+    not just the post-resume tail (ADVICE r4: the preempted run's partial
+    per-metric sums are persisted in the resume state's extra and
+    re-seeded into the accumulators). Sums re-accumulate in the original
+    step order over bitwise-identical step metrics, so the means match
+    the uninterrupted run's exactly."""
+    monkeypatch.chdir(tmp_path)
+
+    def data(cfg):
+        return (SyntheticDataset(cfg, size=24, seed=0),  # 3 steps/epoch
+                SyntheticDataset(cfg, size=8, seed=100))
+
+    def capture(store):
+        def cb(epoch, means, **kw):
+            store[epoch] = dict(means)
+        return cb
+
+    # A: uninterrupted single epoch
+    means_a = {}
+    cfg_a = tiny_cfg(tmp_path, "a", epochs=1)
+    run_training(cfg_a, AVClassifierDGL(config=cfg_a), *data(cfg_a),
+                 dgl=True, epoch_callback=capture(means_a))
+
+    # B: preempt after step 2 of 3, then resume the final step
+    cfg_b = tiny_cfg(tmp_path, "b", epochs=1)
+    run_training(cfg_b, AVClassifierDGL(config=cfg_b), *data(cfg_b),
+                 dgl=True, preempt_guard=PreemptionGuard(trigger_after=2))
+    resume_path = os.path.join(cfg_b.ckpt_path, "resume_state.msgpack")
+    with open(resume_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    assert payload["extra"]["step_in_epoch"] == 2
+    assert payload["extra"]["partial_sums"], "partial sums not persisted"
+
+    means_b = {}
+    cfg_b2 = tiny_cfg(tmp_path, "b", epochs=1, resume=resume_path)
+    run_training(cfg_b2, AVClassifierDGL(config=cfg_b2), *data(cfg_b2),
+                 dgl=True, preempt_guard=PreemptionGuard(),
+                 epoch_callback=capture(means_b))
+
+    assert 0 in means_a and 0 in means_b
+    # the resumed run stepped only the tail...
+    assert means_b[0]["steps"] == 1 and means_a[0]["steps"] == 3
+    # ...but its means cover the full epoch
+    metric_keys = [k for k in means_a[0]
+                   if k not in ("steps", "wall_time", "preempted", "_sums")]
+    assert metric_keys
+    for k in metric_keys:
+        np.testing.assert_allclose(means_b[0][k], means_a[0][k],
+                                   rtol=1e-12, err_msg=k)
+
+
+@pytest.mark.slow
 def test_preempt_on_final_step_rolls_to_next_epoch(tmp_path, monkeypatch):
     """A guard firing on an epoch's LAST step saves (epoch+1, step 0) —
     the epoch's training is complete; only its eval is skipped."""

@@ -23,6 +23,8 @@ import numpy as np
 import pytest
 from flax import serialization
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -123,7 +125,7 @@ def test_multihost_preempt_agreement_and_bitwise_resume(tmp_path):
     env.pop("JAX_PLATFORMS", None)
 
     def write_script(port_):
-        script.write_text(WORKER.replace("@REPO@", "/root/repo")
+        script.write_text(WORKER.replace("@REPO@", REPO_ROOT)
                           .replace("@ADDR@", f"localhost:{port_}")
                           .replace("@ROOT@", root)
                           .replace("@CACHE@", os.path.join(root, "xlacache")))
