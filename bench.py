@@ -86,7 +86,12 @@ def find_prev_bench(bench_dir: str):
         except (OSError, ValueError):
             continue
         if isinstance(rec, dict):
-            best_n, best = int(m.group(1)), rec
+            # the driver wraps the JSON line under a 'parsed' key
+            # ({n, cmd, rc, tail, parsed}); anchors live in the inner
+            # record — unwrap it, accepting flat records too
+            inner = rec.get("parsed")
+            best_n, best = int(m.group(1)), (
+                inner if isinstance(inner, dict) else rec)
     return best
 
 

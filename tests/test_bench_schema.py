@@ -59,3 +59,23 @@ def test_drift_guard_no_prev_and_corrupt(tmp_path):
     (tmp_path / "BENCH_r10.json").write_text(json.dumps({"value": 7.0}))
     rec = bench.find_prev_bench(str(tmp_path))
     assert rec == {"value": 7.0}  # highest round wins; corrupt skipped
+
+
+def test_drift_guard_unwraps_driver_record(tmp_path):
+    """The driver's real BENCH_r{N}.json wraps the bench line under a
+    'parsed' key ({n, cmd, rc, tail, parsed}) — the guard must read the
+    anchors from the INNER record (regression: the guard shipped inert
+    because it compared against the wrapper's top level)."""
+    import bench
+
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({
+        "n": 4, "cmd": "python bench.py", "rc": 0, "tail": "...",
+        "parsed": {"value": 2700.0, "swin_clips_per_sec": 217.0}}))
+    prev = bench.find_prev_bench(str(tmp_path))
+    assert prev == {"value": 2700.0, "swin_clips_per_sec": 217.0}
+
+    out = {"value": 2454.5, "swin_clips_per_sec": 216.8}
+    warnings = []
+    bench.apply_drift_guard(out, prev, warn=warnings.append)
+    assert abs(out["vs_prev"]["value"] - 2454.5 / 2700.0) < 1e-3
+    assert any("REGRESSED" in w for w in warnings)
