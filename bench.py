@@ -88,10 +88,15 @@ def find_prev_bench(bench_dir: str):
         if isinstance(rec, dict):
             # the driver wraps the JSON line under a 'parsed' key
             # ({n, cmd, rc, tail, parsed}); anchors live in the inner
-            # record — unwrap it, accepting flat records too
+            # record — unwrap it, accepting flat records too. A record
+            # carrying NO anchors (e.g. a failed round's parsed:null)
+            # must NOT shadow an older valid round.
             inner = rec.get("parsed")
-            best_n, best = int(m.group(1)), (
-                inner if isinstance(inner, dict) else rec)
+            cand = inner if isinstance(inner, dict) else rec
+            if not any(isinstance(cand.get(k), (int, float))
+                       for k in DRIFT_ANCHORS):
+                continue
+            best_n, best = int(m.group(1)), cand
     return best
 
 

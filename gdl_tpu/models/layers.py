@@ -121,6 +121,13 @@ class GroupedBatchNorm(nn.Module):
             # x.astype(f32) + two-pass jnp.var cost three passes over a
             # materialized f32 copy and regressed the flagship step ~9%
             # (BENCH_r04; VERDICT r4 item 1).
+            # Numerics note: E[x²]-E[x]² in f32 loses precision when
+            # |mean|/std approaches sqrt(1/ulp) ≈ 3e3 (then mean² swamps
+            # the variance). Unreachable for BN'd activations in practice;
+            # a running-mean-shifted variant (E[(x-c)²]-(mean-c)²) fixes
+            # the tail for free but perturbs rounding enough to leave the
+            # chaos-calibrated 25-step trajectory-parity envelope
+            # (test_trajectory_parity) — rejected for the parity surface.
             xf = xg.astype(jnp.float32)
             mean_g = jnp.mean(xf, axis=red)            # [g, C]
             mean2_g = jnp.mean(jnp.square(xf), axis=red)

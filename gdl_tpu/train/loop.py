@@ -346,7 +346,7 @@ def run_training(cfg: Config, model, train_set, test_set,
     try:
         best_acc = _epoch_loop(
             h, cfg, train_loader, test_loader, steps_per_epoch, guard,
-            grad_csv, acc_csv, tb, primary, dgl, epoch_callback,
+            grad_csv, acc_csv, tb, primary, epoch_callback,
             pending_skip, pending_sums, resume_path)
     finally:
         # a raise inside train/eval must not leak the SIGTERM handler
@@ -365,7 +365,7 @@ def run_training(cfg: Config, model, train_set, test_set,
 
 def _epoch_loop(h: Harness, cfg: Config, train_loader, test_loader,
                 steps_per_epoch: int, guard, grad_csv, acc_csv, tb,
-                primary: bool, dgl: bool, epoch_callback,
+                primary: bool, epoch_callback,
                 pending_skip: int, pending_sums, resume_path: str) -> float:
     best_acc = 0.0
     for epoch in range(h.start_epoch, cfg.epochs):
@@ -390,22 +390,32 @@ def _epoch_loop(h: Harness, cfg: Config, train_loader, test_loader,
                 and guard.agree()):
             means["preempted"] = True
             means.setdefault("_sums", {})
+        stop_after_epilogue = False
         if means.get("preempted"):
             steps_done = skip + int(means["steps"])
-            if steps_done >= steps_per_epoch:  # fired on the last step:
-                save_epoch, save_step = epoch + 1, 0  # epoch is complete
-            else:
-                save_epoch, save_step = epoch, steps_done
-            extra = {"step_in_epoch": save_step}
-            if save_step:  # carry partial metric sums for unbiased means
-                extra["partial_sums"] = means.get("_sums", {})
+            if steps_done < steps_per_epoch:
+                # mid-epoch: save and stop BEFORE eval (the uninterrupted
+                # run only evals at epoch end; the resumed run finishes
+                # this epoch and evals then)
+                extra = {"step_in_epoch": steps_done,
+                         "partial_sums": means.get("_sums", {})}
+                if primary:
+                    save_train_state(resume_path, h.state, epoch,
+                                     extra=extra)
+                print("Preempted at epoch {} step {}; resume state saved "
+                      "to {} (--resume to continue)".format(
+                          epoch, steps_done, resume_path))
+                break
+            # fired on the final step: the epoch's training is COMPLETE.
+            # Save the resume state NOW (durable within the scheduler's
+            # grace window even if the kill lands mid-eval), then run the
+            # normal eval/CSV/best-checkpoint epilogue — the resumed run
+            # starts at epoch+1 and would otherwise never eval this epoch
+            # (no accuracy row, best ckpt possibly never saved)
             if primary:
-                save_train_state(resume_path, h.state, save_epoch,
-                                 extra=extra)
-            print("Preempted at epoch {} step {}; resume state saved to "
-                  "{} (--resume to continue)".format(epoch, steps_done,
-                                                     resume_path))
-            break
+                save_train_state(resume_path, h.state, epoch + 1,
+                                 extra={"step_in_epoch": 0})
+            stop_after_epilogue = True
         acc, acc_a, acc_v = evaluate(h, test_loader)
         if epoch_callback is not None:
             epoch_callback(epoch=epoch, means=means,
@@ -444,7 +454,16 @@ def _epoch_loop(h: Harness, cfg: Config, train_loader, test_loader,
             print("Audio Acc: {:.3f}, Visual Acc: {:.3f} ".format(acc_a,
                                                                   acc_v))
         if primary and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
-            save_train_state(resume_path, h.state, epoch + 1)
+            # epoch-boundary state (also keeps the explicit step_in_epoch=0
+            # written by an epoch-complete preemption above from being
+            # clobbered by this re-save)
+            save_train_state(resume_path, h.state, epoch + 1,
+                             extra={"step_in_epoch": 0})
+        if stop_after_epilogue:
+            print("Preempted at epoch {} step {} (epoch complete, eval "
+                  "done); resume state saved to {} (--resume to "
+                  "continue)".format(epoch, steps_per_epoch, resume_path))
+            break
     return best_acc
 
 

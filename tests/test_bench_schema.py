@@ -79,3 +79,18 @@ def test_drift_guard_unwraps_driver_record(tmp_path):
     bench.apply_drift_guard(out, prev, warn=warnings.append)
     assert abs(out["vs_prev"]["value"] - 2454.5 / 2700.0) < 1e-3
     assert any("REGRESSED" in w for w in warnings)
+
+
+def test_find_prev_bench_skips_anchorless_rounds(tmp_path):
+    """A failed round's record (parsed: null after a tunnel outage, or a
+    wrapper with no anchors) must not shadow the older valid round —
+    that would silently disable the drift guard again."""
+    import bench
+
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({
+        "n": 4, "rc": 0, "parsed": {"value": 2700.0}}))
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps({
+        "n": 5, "rc": 1, "tail": "tunnel error", "parsed": None}))
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({
+        "n": 6, "rc": 0, "parsed": {}}))  # empty: no anchors either
+    assert bench.find_prev_bench(str(tmp_path)) == {"value": 2700.0}

@@ -186,7 +186,9 @@ def test_resumed_epoch_means_are_full_epoch(tmp_path, monkeypatch):
 @pytest.mark.slow
 def test_preempt_on_final_step_rolls_to_next_epoch(tmp_path, monkeypatch):
     """A guard firing on an epoch's LAST step saves (epoch+1, step 0) —
-    the epoch's training is complete; only its eval is skipped."""
+    the epoch's training is complete — and still runs that epoch's eval
+    epilogue first (accuracy CSV row, best-ckpt update): the resumed run
+    starts at epoch+1 and would otherwise never eval the epoch."""
     monkeypatch.chdir(tmp_path)
     cfg = tiny_cfg(tmp_path, "c")
     train = SyntheticDataset(cfg, size=16, seed=0)  # 2 steps/epoch
@@ -199,3 +201,7 @@ def test_preempt_on_final_step_rolls_to_next_epoch(tmp_path, monkeypatch):
         payload = serialization.msgpack_restore(f.read())
     assert payload["epoch"] == 1
     assert payload["extra"]["step_in_epoch"] == 0
+    # the completed epoch's eval ran before stopping: sentinel + epoch-0 row
+    with open(os.path.join(cfg.ckpt_path, "CREMAD_full.csv")) as f:
+        rows = [r for r in f.read().splitlines() if r.strip()]
+    assert len(rows) == 2, rows
