@@ -216,7 +216,7 @@ def _measure_dgl(batch_size: int, iters: int, modality: str = "full"):
     return clips, mfu, flops
 
 
-def _measure_swin(batch_size: int = 32, iters: int = 10):
+def _measure_swin(batch_size: int = 32, iters: int = ITERS):
     """Dual Swin-B joint train step (bf16, Pallas window attention) —
     the swin-path anchor; returns (clips_per_sec, mfu_or_None)."""
     import jax
@@ -249,7 +249,7 @@ def _measure_swin(batch_size: int = 32, iters: int = 10):
     return clips, mfu
 
 
-def _measure_mmformer(batch_size: int = 64, iters: int = 10):
+def _measure_mmformer(batch_size: int = 64, iters: int = ITERS):
     """mmformer_n train step (bf16, rbg dropout streams + fused Pallas
     self-attention, shared unimodal streams — the main_intermediate.py
     shipping default since the round-4 accuracy-neutral A/B,
@@ -293,7 +293,7 @@ def _measure_mmformer(batch_size: int = 64, iters: int = 10):
     return batch_size / dt, mfu
 
 
-def _measure_ogm(batch_size: int = 64, iters: int = 10):
+def _measure_ogm(batch_size: int = 64, iters: int = ITERS):
     """Joint/OGM-GE modulated train step (main.py:286-332 — the main.py
     driver lineage's first hardware anchor, VERDICT r3 item 4): dual
     ResNet-18 joint classifier, LIVE OGM-GE gradient modulation (the
@@ -353,7 +353,7 @@ def main(_retry: bool = True):
     # the primary metric above always lands even if these are skipped
     if time.perf_counter() - t_start < BS256_DEADLINE_S:
         try:
-            clips256, mfu256, _ = _measure_dgl(256, 10)
+            clips256, mfu256, _ = _measure_dgl(256, ITERS)
             out["bs256_clips_per_sec"] = round(clips256, 2)
             if mfu256:
                 out["bs256_mfu"] = round(mfu256, 4)
@@ -361,7 +361,7 @@ def main(_retry: bool = True):
             pass
     if time.perf_counter() - t_start < SWIN_DEADLINE_S:
         try:
-            swin_clips, swin_mfu = _measure_swin(32, 10)
+            swin_clips, swin_mfu = _measure_swin(32, ITERS)
             out["swin_clips_per_sec"] = round(swin_clips, 2)
             out["swin_batch_size"] = 32
             if swin_mfu:
@@ -386,7 +386,7 @@ def main(_retry: bool = True):
             pass
     if time.perf_counter() - t_start < UNIMODAL_DEADLINE_S:
         try:
-            uni_clips, uni_mfu, _ = _measure_dgl(BATCH, 10,
+            uni_clips, uni_mfu, _ = _measure_dgl(BATCH, ITERS,
                                                  modality="audio")
             out["unimodal_clips_per_sec"] = round(uni_clips, 2)
             if uni_mfu:
