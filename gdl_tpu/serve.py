@@ -28,7 +28,8 @@ from jax import export as jax_export
 
 def export_eval(model, variables: dict, example_inputs: Sequence[Any],
                 platforms: Optional[Sequence[str]] = None,
-                apply_kwargs: Optional[dict] = None):
+                apply_kwargs: Optional[dict] = None,
+                poly_batch: bool = False):
     """Export `model.apply(variables, *inputs, train=False)` with the
     weights closed over as constants. Returns a jax.export.Exported.
 
@@ -36,14 +37,34 @@ def export_eval(model, variables: dict, example_inputs: Sequence[Any],
     None = the current default backend. apply_kwargs: extra static
     keyword arguments for apply (e.g. av_inputs=True for the
     intermediate family's AV adapter).
+
+    poly_batch: export with a SYMBOLIC leading batch dimension shared by
+    every input (jax.export shape polymorphism) — one artifact then
+    serves ANY batch size, where the default fixed-shape artifact pins
+    the example batch. Eval-only model code is batch-polymorphic
+    throughout (BN normalizes with running stats; pools/reshapes derive
+    from input shapes), but the Pallas eval kernels are not (Mosaic
+    grids are static-shape), so callers force the XLA eval path when
+    poly_batch is set — see export_from_checkpoint. Fixed-shape exports
+    remain the TPU production default: XLA compiles (and the serving
+    fleet pads to) one blessed batch size per artifact anyway, and the
+    fixed path keeps the fused eval kernels.
     """
     extra = dict(apply_kwargs or {})
 
     def serve_fn(*inputs):
         return model.apply(variables, *inputs, train=False, **extra)
 
-    specs = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype)
-                  for x in example_inputs)
+    if poly_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        specs = tuple(
+            jax.ShapeDtypeStruct((b,) + tuple(jnp.shape(x))[1:],
+                                 jnp.asarray(x).dtype)
+            for x in example_inputs)
+    else:
+        specs = tuple(jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.asarray(x).dtype)
+                      for x in example_inputs)
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
@@ -64,7 +85,8 @@ def load_exported(path: str):
 def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
                            batch_size: Optional[int] = None,
                            platforms: Sequence[str] = ("cpu", "tpu"),
-                           dgl: bool = True):
+                           dgl: bool = True,
+                           poly_batch: bool = False):
     """Build the classifier for `cfg` (DGL family by default; dgl=False
     selects the joint main.py family), load a checkpoint (ours or a
     reference torch .pth), and write the serving artifact. The exported
@@ -72,7 +94,10 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
     by the dataset config and returns the model's eval outputs (the
     (out, out_a, out_v) logits for DGL; the 11-tuple for joint). By
     default the artifact is lowered for BOTH cpu and tpu, so one file
-    serves on either platform."""
+    serves on either platform. poly_batch=True exports a symbolic batch
+    dimension instead of pinning `batch_size` (see export_eval) — the
+    Pallas eval kernels are forced off for such artifacts (static-shape
+    Mosaic grids)."""
     from gdl_tpu.models.classifier import (
         AVClassifier,
         AVClassifierDGL,
@@ -93,11 +118,13 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
 
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
-    if "cpu" in platforms and (getattr(cfg, "use_pallas_attn_eval", False)
-                               or getattr(cfg, "fuse_mlp", False)):
-        # Mosaic custom calls only lower for tpu — a cpu-containing
-        # artifact must trace the XLA eval attention and MLP chain
-        # (identical math; the fused kernels are TPU-only speed paths).
+    if (("cpu" in platforms or poly_batch)
+            and (getattr(cfg, "use_pallas_attn_eval", False)
+                 or getattr(cfg, "fuse_mlp", False))):
+        # Mosaic custom calls only lower for tpu, and only at static
+        # shapes — a cpu-containing OR batch-polymorphic artifact must
+        # trace the XLA eval attention and MLP chain (identical math;
+        # the fused kernels are TPU-only speed paths). Fixed-shape
         # tpu-only exports keep the kernels.
         import dataclasses
 
@@ -124,7 +151,7 @@ def export_from_checkpoint(cfg, ckpt_path: str, out_path: str,
     visual = jnp.zeros((b, cfg.fps, 224, 224, 3), jnp.float32)
     exported = export_eval(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        (audio, visual), platforms=platforms)
+        (audio, visual), platforms=platforms, poly_batch=poly_batch)
     save_exported(exported, out_path)
     return exported
 
@@ -135,6 +162,7 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
                                         platforms: Sequence[str] = ("cpu",
                                                                     "tpu"),
                                         share_streams: bool = False,
+                                        poly_batch: bool = False,
                                         **model_kwargs):
     """main_intermediate.py --export_path: AOT-export the intermediate
     family's eval forward (MMTM 'triple' (out, out_a, out_v), SE-fusion
@@ -166,7 +194,8 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
     model, kind = build_intermediate(model_name, cfg.n_classes,
                                      cfg.encoder_width, dtype=dtype,
                                      share_streams=share_streams,
-                                     use_pallas="cpu" not in platforms,
+                                     use_pallas=("cpu" not in platforms
+                                                 and not poly_batch),
                                      **model_kwargs)
     f, t = cfg.spec_shape
     rng = jax.random.PRNGKey(0)
@@ -190,6 +219,6 @@ def export_intermediate_from_checkpoint(cfg, model_name: str,
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         (audio, visual), platforms=platforms,
-        apply_kwargs={"av_inputs": True})
+        apply_kwargs={"av_inputs": True}, poly_batch=poly_batch)
     save_exported(exported, out_path)
     return exported

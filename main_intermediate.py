@@ -67,6 +67,10 @@ def get_arguments():
                         "from the checkpoint FILE at --ckpt_path, then "
                         "exit — the valid.py --export_path equivalent "
                         "for the intermediate family")
+    parser.add_argument("--export_poly_batch", default=0, type=int,
+                        help="1 = export a symbolic batch dimension (one "
+                        "artifact serves any batch size; forces the XLA "
+                        "eval attention path). 0 = pin the config batch")
     return parser.parse_args()
 
 
@@ -134,6 +138,7 @@ def main():
         export_intermediate_from_checkpoint(
             cfg, args.model, cfg.ckpt_path, args.export_path,
             share_streams=share_streams,
+            poly_batch=bool(args.export_poly_batch),
             batched_inter=bool(args.batched_inter))
         print("Serving artifact written to", args.export_path)
         return

@@ -61,6 +61,47 @@ def test_export_rejects_wrong_shapes(tmp_path):
     assert raised  # concrete-shape artifact: batch size is pinned
 
 
+def test_poly_batch_export_serves_any_batch(tmp_path):
+    """poly_batch=True exports a SYMBOLIC leading batch dim (jax.export
+    shape polymorphism): one artifact replays the eval forward at batch
+    sizes it never saw, where the fixed-shape artifact rejects them
+    (test_export_rejects_wrong_shapes). Exercises the valid.py
+    --export_poly_batch path end-to-end through serialization."""
+    model, variables, audio, visual = _tiny_model_and_vars()
+    exported = export_eval(model, variables, (audio, visual),
+                           poly_batch=True)
+    # the in-avals really are symbolic, not the example batch
+    assert not isinstance(exported.in_avals[0].shape[0], int)
+
+    path = os.path.join(tmp_path, "model_poly.hlo")
+    save_exported(exported, path)
+    loaded = load_exported(path)
+    f, t = audio.shape[1], audio.shape[2]
+    for bs in (1, 2, 5):
+        a = jnp.asarray(np.random.RandomState(10 + bs).randn(bs, f, t, 1),
+                        jnp.float32)
+        v = jnp.asarray(
+            np.random.RandomState(20 + bs).randn(bs, 1, 224, 224, 3),
+            jnp.float32)
+        got = loaded.call(a, v)
+        ref = model.apply(variables, a, v, train=False)
+        assert len(got) == 3
+        for g, r in zip(got, ref):
+            assert g.shape == (bs, 6)
+            # the poly lowering fuses/reassociates differently from the
+            # per-shape jit — tolerance, not bit equality
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+    # non-batch dims stay pinned: a wrong spectrogram shape is rejected
+    try:
+        loaded.call(jnp.zeros((2, f + 1, t, 1), jnp.float32),
+                    jnp.zeros((2, 1, 224, 224, 3), jnp.float32))
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
 def test_export_from_checkpoint_end_to_end(tmp_path):
     """The valid.py --export_path path: save a legacy checkpoint, build the
     serving artifact from it, and replay — logits match the live model

@@ -23,6 +23,11 @@ def get_arguments():
     parser.add_argument("--export_path", default=None, type=str,
                         help="also write an AOT serving artifact "
                              "(jax.export StableHLO, weights baked in)")
+    parser.add_argument("--export_poly_batch", default=0, type=int,
+                        help="1 = export a symbolic batch dimension (one "
+                             "artifact serves any batch size; forces the "
+                             "XLA eval path — Pallas kernels need static "
+                             "shapes). 0 = pin the config batch size")
     return parser.parse_args()
 
 
@@ -41,7 +46,8 @@ def modal_main():
     if args.export_path:
         from gdl_tpu.serve import export_from_checkpoint
 
-        export_from_checkpoint(cfg, cfg.ckpt_path, args.export_path)
+        export_from_checkpoint(cfg, cfg.ckpt_path, args.export_path,
+                               poly_batch=bool(args.export_poly_batch))
         print("Serving artifact written to", args.export_path)
     return result
 
