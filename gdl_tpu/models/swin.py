@@ -360,10 +360,13 @@ class SwinBlock(nn.Module):
         stage 3's 16.8 MB weights fall back — ops/mlp.py)."""
         c = y.shape[-1]
         hid = int(self.dim * self.mlp_ratio)
-        m = int(np.prod(y.shape[:-1]))
         if self.fuse_mlp and is_tpu_backend():
             from gdl_tpu.ops.mlp import mlp_fused, mlp_kernel_supported
 
+            # concrete shapes only here: the fused kernel's grid is
+            # static, and poly-batch exports force fuse_mlp off
+            # (serve.py) — so int() never sees a symbolic dim
+            m = int(np.prod(y.shape[:-1]))
             if mlp_kernel_supported(m, c, hid,
                                     jnp.dtype(self.dtype).itemsize):
                 w1, b1 = _QkvParams(hid, name="mlp_fc1")(c)

@@ -102,6 +102,39 @@ def test_poly_batch_export_serves_any_batch(tmp_path):
     assert raised
 
 
+def test_poly_batch_export_swin_family(tmp_path):
+    """The swin classifier traces under a symbolic batch too (the
+    resident-layout reshapes are all shape-derived; the fused-MLP int()
+    shape cast only runs inside the TPU kernel branch, models/swin.py
+    _mlp). Tiny 56x56 2-stage swin to keep the 1-core compile bounded."""
+    from gdl_tpu.models.classifier import AVClassifierSwinDGL
+
+    cfg = Config(**dict(TINY, backbone="swin", swin_embed_dim=16,
+                        swin_depths=[1, 1], swin_heads=[2, 4],
+                        swin_window=7, swin_img_size=56, swin_patch=4,
+                        use_pallas_attn=False))
+    model = AVClassifierSwinDGL(config=cfg)
+    a = jnp.zeros((2, 56, 56, 1), jnp.float32)
+    v = jnp.zeros((2, 1, 56, 56, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, a, v,
+                           train=False)
+    exported = export_eval(model, variables, (a, v), poly_batch=True)
+    path = os.path.join(tmp_path, "swin_poly.hlo")
+    save_exported(exported, path)
+    loaded = load_exported(path)
+    for bs in (1, 3):
+        aa = jnp.asarray(np.random.RandomState(bs).randn(bs, 56, 56, 1),
+                         jnp.float32)
+        vv = jnp.asarray(
+            np.random.RandomState(bs + 9).randn(bs, 1, 56, 56, 3),
+            jnp.float32)
+        got = loaded.call(aa, vv)
+        ref = model.apply(variables, aa, vv, train=False)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_export_from_checkpoint_end_to_end(tmp_path):
     """The valid.py --export_path path: save a legacy checkpoint, build the
     serving artifact from it, and replay — logits match the live model
