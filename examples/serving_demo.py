@@ -82,6 +82,19 @@ def main():
     assert err < 1e-5
     print("OK — the artifact replays the trained model with no model code")
 
+    # batch-polymorphic variant: ONE artifact, any batch size
+    # (valid.py --export_poly_batch 1)
+    poly = os.path.join(tmp, "model_poly.hlo")
+    export_from_checkpoint(cfg, ckpt, poly, poly_batch=True)
+    loaded = load_exported(poly)
+    for bs in (1, 7):
+        out = loaded.call(
+            jnp.asarray(rng.standard_normal((bs, f, t, 1)), jnp.float32),
+            jnp.asarray(rng.standard_normal((bs, 1, 224, 224, 3)),
+                        jnp.float32))
+        assert out[0].shape == (bs, 6)
+    print("OK — the poly-batch artifact served batch sizes 1 and 7")
+
 
 if __name__ == "__main__":
     main()
