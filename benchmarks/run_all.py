@@ -279,7 +279,7 @@ def bench_swin_eval(batch_size: int, iters: int, pallas: bool = False,
 
 
 def bench_resnet_eval(batch_size: int, iters: int, export: bool = False,
-                      width: int = 64, stages=None):
+                      width: int = 64, stages=None, poly: bool = False):
     """Forward-only (serving/eval) flagship throughput — CREMA-D dual
     ResNet-18 DGL classifier on preprocessed inputs (the shapes the AOT
     serving artifact consumes; the eval STFT is measured separately by
@@ -312,7 +312,13 @@ def bench_resnet_eval(batch_size: int, iters: int, export: bool = False,
     if export:
         from gdl_tpu.serve import export_eval
 
-        exported = export_eval(model, variables, (audio, visual))
+        # poly=True replays the batch-POLYMORPHIC artifact (symbolic
+        # leading dim, --export_poly_batch) — XLA specializes it to the
+        # concrete batch at call time, so this measures what a
+        # variable-batch serving fleet actually runs vs the fixed-shape
+        # artifact (resnet_export_bs64)
+        exported = export_eval(model, variables, (audio, visual),
+                               poly_batch=poly)
         fwd = lambda a, v: exported.call(a, v)[0]
     else:
         fwd = lambda a, v: model.apply(variables, a, v, train=False)[0]
@@ -420,6 +426,10 @@ CONFIGS = {
     # replays the serialized jax.export artifact — pairs with
     # resnet_eval_bs64 to verify the serving round-trip is overhead-free
     "resnet_export_bs64": lambda it: bench_resnet_eval(64, it, export=True),
+    # the batch-polymorphic artifact at the same batch — the cost of
+    # --export_poly_batch relative to the fixed-shape export
+    "resnet_export_poly_bs64": lambda it: bench_resnet_eval(
+        64, it, export=True, poly=True),
     "mmformer_eval_bs64": lambda it: bench_intermediate_eval(
         "mmformer_n", 64, it),
     "mmformer_eval_bs64_pallas": lambda it: bench_intermediate_eval(
