@@ -19,7 +19,7 @@ import sys
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--slices", type=int, default=2)
     args = ap.parse_args()
