@@ -23,6 +23,14 @@ from gdl_tpu.train.loop import run_eval, run_training
 def get_arguments():
     parser = argparse.ArgumentParser()
     add_arguments(parser, dgl=False)
+    parser.add_argument("--export_path", default=None, type=str,
+                        help="eval mode only: also write an AOT serving "
+                             "artifact of the joint model's eval forward "
+                             "(the valid.py --export_path equivalent for "
+                             "this lineage)")
+    parser.add_argument("--export_poly_batch", default=0, type=int,
+                        help="1 = export a symbolic batch dimension (one "
+                             "artifact serves any batch size)")
     return parser.parse_args()
 
 
@@ -49,6 +57,13 @@ def main():
     else:
         test_set = make_dataset(cfg, "test")
         run_eval(cfg, model, test_set, cfg.ckpt_path, dgl=False)
+        if args.export_path:
+            from gdl_tpu.serve import export_from_checkpoint
+
+            export_from_checkpoint(
+                cfg, cfg.ckpt_path, args.export_path, dgl=False,
+                poly_batch=bool(args.export_poly_batch))
+            print("Serving artifact written to", args.export_path)
 
 
 if __name__ == "__main__":
