@@ -252,3 +252,45 @@ def test_intermediate_export_roundtrip(tmp_path):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=2e-4)
         os.remove(ckpt)  # next model reuses the ckpt dir
+
+
+def test_joint_family_export_from_checkpoint(tmp_path):
+    """main.py --export_path (the joint/OGM lineage, last round's CLI
+    addition): export_from_checkpoint(dgl=False) builds AVClassifier,
+    restores the saved checkpoint, and the serialized artifact replays
+    the 11-tuple eval contract (reference main.py:164-165) against the
+    live model."""
+    from gdl_tpu.models.classifier import AVClassifier
+    from gdl_tpu.serve import export_from_checkpoint
+    from gdl_tpu.train.dgl import create_train_state
+    from gdl_tpu.train.optim import make_optimizer
+    from gdl_tpu.utils.checkpoint import save_legacy_checkpoint
+
+    cfg = Config(**dict(TINY, ckpt_path=str(tmp_path)))
+    model = AVClassifier(config=cfg)
+    # PRNGKey(11) != the exporter's internal PRNGKey(0) init — the
+    # artifact only matches if the checkpoint restore actually happened
+    # (see test_export_from_checkpoint_end_to_end).
+    state = create_train_state(model, cfg, jax.random.PRNGKey(11),
+                               make_optimizer(cfg, 1))
+    ckpt = save_legacy_checkpoint(cfg, state, epoch=1, acc=0.5)
+
+    out_path = os.path.join(tmp_path, "joint.hlo")
+    export_from_checkpoint(cfg, ckpt, out_path, batch_size=2, dgl=False)
+
+    f, t = cfg.spec_shape
+    audio = jnp.asarray(np.random.RandomState(6).randn(2, f, t, 1),
+                        jnp.float32)
+    visual = jnp.asarray(
+        np.random.RandomState(7).randn(2, 1, 224, 224, 3), jnp.float32)
+    ref = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      audio, visual, train=False)
+    got = load_exported(out_path).call(audio, visual)
+    assert len(got) == len(ref) == 11
+    for g, r in zip(got, ref):
+        # the 11-tuple includes pre-pool feature maps; CPU oneDNN GEMMs
+        # reassociate between compiles (~1e-6 abs — the same artifact the
+        # intermediate export test documents). Exact on TPU.
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
