@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True,
-                 dataset: str = "CREMAD", fps: int = 1):
+                 dataset: str = "CREMAD", fps: int = 1,
+                 modality: str = "full"):
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +30,7 @@ def bench_resnet(batch_size: int, iters: int, preprocess_on: bool = True,
     from gdl_tpu.train.dgl import create_train_state, make_dgl_train_step
     from gdl_tpu.train.optim import make_optimizer
 
-    cfg = Config(dataset=dataset, fusion_method="concat", modality="full",
+    cfg = Config(dataset=dataset, fusion_method="concat", modality=modality,
                  fps=fps, batch_size=batch_size, compute_dtype="bfloat16",
                  log_grad_csv=False)
     model = AVClassifierDGL(config=cfg, dtype=jnp.bfloat16)
@@ -407,6 +408,11 @@ CONFIGS = {
     "resnet_bs512": lambda it: bench_resnet(512, max(it // 4, 3)),
     "ks_bs64": lambda it: bench_resnet(64, it, dataset="KineticSound",
                                        fps=3),
+    # unimodal DGL lineages ((2α+1)·CE, reference main_dgl.py:102-122):
+    # audio is the bench.py unimodal anchor; visual (the 224² RGB ResNet
+    # stream — the heavier encoder) gets its capacity point here
+    "dgl_audio_bs64": lambda it: bench_resnet(64, it, modality="audio"),
+    "dgl_visual_bs64": lambda it: bench_resnet(64, it, modality="visual"),
     "mmtm_bs64": lambda it: bench_intermediate("mmtm", 64, it),
     "sefusion_bs64": lambda it: bench_intermediate("sefusion", 64, it),
     "mmformer_bs64": lambda it: bench_intermediate("mmformer_n", 64, it),
@@ -421,6 +427,11 @@ CONFIGS = {
     # levers stack or they don't; RESULTS.md)
     "mmformer_bs128_shared": lambda it: bench_intermediate(
         "mmformer_n", 128, max(it // 2, 5), share_streams=True),
+    # next point on the batch curve past the bs128 983 clips/s record —
+    # does the shared-streams config keep scaling or hit the bs512-style
+    # flagship regression? (RESULTS.md round-5b)
+    "mmformer_bs256_shared": lambda it: bench_intermediate(
+        "mmformer_n", 256, max(it // 4, 3), share_streams=True),
     "resnet_eval_bs64": lambda it: bench_resnet_eval(64, it),
     "resnet_eval_bs256": lambda it: bench_resnet_eval(256, max(it // 2, 5)),
     # replays the serialized jax.export artifact — pairs with
