@@ -905,6 +905,52 @@ def _qkv_t_specs(G, n_pad, g, gd, nw):
     )
 
 
+def _attn_bwd_pallas_t(qkvp, p, dout, out_res, G, n_pad, g, d, gd, nw,
+                       hg, scale):
+    """Shared transposed-score attention backward dispatch for the qkv
+    and fused-GEMM entries (their phase-1 splits are identical). The
+    BWD_DELTA gate selects the delta-trick kernel plus its packed-delta
+    operand (out_res is only read there — the forwards stash it in the
+    residuals only under the gate); the default is the save-p kernel at
+    the halved backward block. Returns (dqkvp, dbias_t_f32)."""
+    b = qkvp.shape[0]
+    if BWD_DELTA:
+        # delta-trick backward: the removed dp*p score temp is what made
+        # the full-G block OOM (900 KB over at stage 3) — raise the block
+        Gb = math.gcd(G, BWD_DELTA_G)
+        kernel = functools.partial(_wa_qkv_t_bwd_pd_kernel, g=g, d=d,
+                                   scale=scale)
+        extra_in = [pl.BlockSpec((1, Gb, 1, g * n_pad),
+                                 lambda hi, i: (hi, i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        extra_ops = [_pack_delta_t(out_res, dout, g, d, hg)]
+    else:
+        # halved backward block: even with the transposed scores' 2x
+        # smaller VMEM footprint, the full G=32 backward OOMs scoped vmem
+        # by 900 KB at stage 3 (16.88M/16M measured) — the bwd holds
+        # p/dp/ds plus q_bd and dout_bd concurrently
+        Gb = math.gcd(G, 16)
+        kernel = functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d,
+                                   scale=scale)
+        extra_in, extra_ops = [], []
+    specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
+    return pl.pallas_call(
+        kernel,
+        grid=(hg, b // Gb),
+        in_specs=[specs["qkv"], specs["p"], specs["out"], *extra_in],
+        out_specs=[
+            specs["qkv"],
+            pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
+            jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qkvp, p, dout, *extra_ops)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _qkv_attn_core_savep_t(static, qkvp, bias_t, mask_t):
     """Transposed-score savep core; static = (g, d, has_mask, scale, G,
@@ -931,63 +977,20 @@ def _qkv_attn_savep_t_fwd(static, qkvp, bias_t, mask_t):
         ],
         interpret=jax.default_backend() != "tpu",
     )(qkvp, bias_t, mask_t)
-    return out, (qkvp, p, out, bias_t, mask_t)
+    # out joins the residuals only for the delta-trick backward (the one
+    # consumer); the default path keeps the residual contract minimal so
+    # out's liveness ends at the forward
+    return out, (qkvp, p, out if BWD_DELTA else None, bias_t, mask_t)
 
 
 def _qkv_attn_savep_t_bwd(static, res, dout):
     g, d, has_mask, scale, G, nw = static
-    qkvp, p, out, bias_t, mask_t = res
+    qkvp, p, out_res, bias_t, mask_t = res
     b, n_pad, _, c = qkvp.shape
     gd = g * d
     hg = c // gd
-    if BWD_DELTA:
-        # delta-trick backward: the removed dp*p score temp is what made
-        # the full-G block OOM (900 KB over at stage 3) — raise the block
-        delta = _pack_delta_t(out, dout, g, d, hg)
-        G = math.gcd(G, BWD_DELTA_G)
-        specs = _qkv_t_specs(G, n_pad, g, gd, nw)
-        delta_spec = pl.BlockSpec((1, G, 1, g * n_pad),
-                                  lambda hi, i: (hi, i, 0, 0),
-                                  memory_space=pltpu.VMEM)
-        dqkvp, dbias_t = pl.pallas_call(
-            functools.partial(_wa_qkv_t_bwd_pd_kernel, g=g, d=d,
-                              scale=scale),
-            grid=(hg, b // G),
-            in_specs=[specs["qkv"], specs["p"], specs["out"], delta_spec],
-            out_specs=[
-                specs["qkv"],
-                pl.BlockSpec((1, n_pad, g * n_pad),
-                             lambda hi, i: (hi, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-                jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(qkvp, p, dout, delta)
-        return dqkvp, dbias_t.astype(bias_t.dtype), jnp.zeros_like(mask_t)
-    # halved backward block: even with the transposed scores' 2x smaller
-    # VMEM footprint, the full G=32 backward OOMs scoped vmem by 900 KB at
-    # stage 3 (16.88M/16M measured) — the bwd holds p/dp/ds plus q_bd and
-    # dout_bd concurrently
-    G = math.gcd(G, 16)
-    specs = _qkv_t_specs(G, n_pad, g, gd, nw)
-    dqkvp, dbias_t = pl.pallas_call(
-        functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d, scale=scale),
-        grid=(hg, b // G),
-        in_specs=[specs["qkv"], specs["p"], specs["out"]],
-        out_specs=[
-            specs["qkv"],
-            pl.BlockSpec((1, n_pad, g * n_pad), lambda hi, i: (hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-            jax.ShapeDtypeStruct((hg, n_pad, g * n_pad), jnp.float32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(qkvp, p, dout)
+    dqkvp, dbias_t = _attn_bwd_pallas_t(qkvp, p, dout, out_res, G, n_pad,
+                                        g, d, gd, nw, hg, scale)
     return dqkvp, dbias_t.astype(bias_t.dtype), jnp.zeros_like(mask_t)
 
 
@@ -1242,7 +1245,9 @@ def _xw_attn_savep_t_fwd(static, xp, w3, bv, bias_t, mask_t):
         ],
         interpret=jax.default_backend() != "tpu",
     )(xp, w3, bv, bias_t, mask_t)
-    return out, (xp, w3, qkvp, p, out, bias_t, mask_t)
+    # out in residuals ONLY under BWD_DELTA — see _qkv_attn_savep_t_fwd
+    return out, (xp, w3, qkvp, p, out if BWD_DELTA else None, bias_t,
+                 mask_t)
 
 
 # Phase-2 gate: run the projection backward INSIDE the backward kernel
@@ -1305,56 +1310,14 @@ def _xw_attn_savep_t_bwd(static, res, dout):
         # see the gate comment)
         mode = hg * c * 3 * gd * 4 <= _DW_SLAB_FEASIBLE
     if not mode:
-        # phase-1 split: unchanged attention backward kernel, then the
-        # projection backward as plain GEMMs (same math and rounding as
-        # the replaced flax Dense's autodiff: bf16 dots, f32 accumulate,
-        # round to the operand dtype)
-        if BWD_DELTA:
-            Gb = math.gcd(G, BWD_DELTA_G)
-            delta = _pack_delta_t(out_res, dout, g, d, hg)
-            specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
-            delta_spec = pl.BlockSpec((1, Gb, 1, g * n_pad),
-                                      lambda hi, i: (hi, i, 0, 0),
-                                      memory_space=pltpu.VMEM)
-            dqkvp, dbias_t = pl.pallas_call(
-                functools.partial(_wa_qkv_t_bwd_pd_kernel, g=g, d=d,
-                                  scale=scale),
-                grid=(hg, b // Gb),
-                in_specs=[specs["qkv"], specs["p"], specs["out"],
-                          delta_spec],
-                out_specs=[
-                    specs["qkv"],
-                    pl.BlockSpec((1, n_pad, g * n_pad),
-                                 lambda hi, i: (hi, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-                    jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
-                                         jnp.float32),
-                ],
-                interpret=jax.default_backend() != "tpu",
-            )(qkvp, p, dout, delta)
-        else:
-            specs = _qkv_t_specs(Gb, n_pad, g, gd, nw)
-            dqkvp, dbias_t = pl.pallas_call(
-                functools.partial(_wa_qkv_t_bwd_p_kernel, g=g, d=d,
-                                  scale=scale),
-                grid=(hg, b // Gb),
-                in_specs=[specs["qkv"], specs["p"], specs["out"]],
-                out_specs=[
-                    specs["qkv"],
-                    pl.BlockSpec((1, n_pad, g * n_pad),
-                                 lambda hi, i: (hi, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct(qkvp.shape, qkvp.dtype),
-                    jax.ShapeDtypeStruct((hg, n_pad, g * n_pad),
-                                         jnp.float32),
-                ],
-                interpret=jax.default_backend() != "tpu",
-            )(qkvp, p, dout)
+        # phase-1 split: unchanged attention backward kernel (the shared
+        # BWD_DELTA-gated dispatch), then the projection backward as
+        # plain GEMMs (same math and rounding as the replaced flax
+        # Dense's autodiff: bf16 dots, f32 accumulate, round to the
+        # operand dtype)
+        dqkvp, dbias_t = _attn_bwd_pallas_t(qkvp, p, dout, out_res, G,
+                                            n_pad, g, d, gd, nw, hg,
+                                            scale)
         dq2 = dqkvp.reshape(b * n_pad, 3 * c3)
         w2 = w3.reshape(c, 3 * c3)
         dx = jax.lax.dot_general(

@@ -11,6 +11,8 @@ import pytest
 
 from tests.test_datasets import make_cremad_tree
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.mark.slow
 def test_main_dgl_cli_end_to_end(tmp_path):
@@ -22,10 +24,10 @@ def test_main_dgl_cli_end_to_end(tmp_path):
     os.symlink(data_root.rstrip("/"), tmp_path / "dataset" / "data")
 
     env = dict(os.environ,
-               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""),
+               PYTHONPATH=REPO_ROOT + ":" + os.environ.get("PYTHONPATH", ""),
                GDL_PLATFORM="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    cmd = [sys.executable, os.path.join("/root/repo", "main_dgl.py"),
+    cmd = [sys.executable, os.path.join(REPO_ROOT, "main_dgl.py"),
            "--train", "--ckpt_path", str(tmp_path / "ckpt"),
            "--dataset", "CREMAD", "--modulation", "Normal",
            "--fusion_method", "concat", "--alpha", "4",
@@ -58,12 +60,12 @@ def test_main_dgl_cli_with_preprocessed_cache(tmp_path):
     os.symlink(data_root.rstrip("/"), tmp_path / "dataset" / "data")
 
     env = dict(os.environ,
-               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""),
+               PYTHONPATH=REPO_ROOT + ":" + os.environ.get("PYTHONPATH", ""),
                GDL_PLATFORM="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     pre = str(tmp_path / "pre")
     out = subprocess.run(
-        [sys.executable, os.path.join("/root/repo", "tools",
+        [sys.executable, os.path.join(REPO_ROOT, "tools",
                                       "preprocess_dataset.py"),
          "--dataset", "CREMAD", "--audio_path", audio,
          "--visual_path", visual, "--out", pre, "--workers", "2"],
@@ -71,7 +73,7 @@ def test_main_dgl_cli_with_preprocessed_cache(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     assert "preprocessed 12 clips" in out.stdout
 
-    cmd = [sys.executable, os.path.join("/root/repo", "main_dgl.py"),
+    cmd = [sys.executable, os.path.join(REPO_ROOT, "main_dgl.py"),
            "--train", "--ckpt_path", str(tmp_path / "ckpt"),
            "--dataset", "CREMAD", "--modulation", "Normal",
            "--fusion_method", "concat", "--alpha", "4",
@@ -101,10 +103,10 @@ def test_main_dgl_cli_strict_compat(tmp_path):
     os.symlink(data_root.rstrip("/"), tmp_path / "dataset" / "data")
 
     env = dict(os.environ,
-               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""),
+               PYTHONPATH=REPO_ROOT + ":" + os.environ.get("PYTHONPATH", ""),
                GDL_PLATFORM="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    cmd = [sys.executable, os.path.join("/root/repo", "main_dgl.py"),
+    cmd = [sys.executable, os.path.join(REPO_ROOT, "main_dgl.py"),
            "--train", "--ckpt_path", str(tmp_path / "ckpt"),
            "--dataset", "CREMAD", "--modulation", "Normal",
            "--fusion_method", "concat", "--alpha", "4",
